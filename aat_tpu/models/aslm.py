@@ -1,0 +1,348 @@
+"""ASLM — Audio-Speech Language Model.
+
+Capability parity with ``AslmModel`` (/root/reference/src/aslm/modeling_aslm.py):
+compose an audio encoder (HuBERT/wav2vec2/EfficientNet), a segment projection
+into the LM embedding space, learned audio-BOS/EOS embeddings, and a
+Llama-family decoder. TPU-first: functional methods over parameter pytrees,
+fixed shapes, bf16-friendly.
+
+Projection types (reference configuration_aslm.py:34-37):
+- ``linear``: zero masked frames, crop T to a multiple of
+  ``audio_encoder_embeddings_seq_len`` = k, reshape ``[N, T/k, k*E]``,
+  MLP(4096) → LM hidden (reference modeling_aslm.py:114-124,260-285).
+- ``transformer_encoder``: prepend a learned CLS embedding, run a 4-layer
+  pre-LN transformer (d=4096, 32 heads, ReLU FF 2048 — torch
+  ``nn.TransformerEncoderLayer`` defaults), project the CLS position to LM
+  hidden (reference modeling_aslm.py:12-60,108-112,238-256).
+- ``mean``: masked mean over frames → Linear. (The reference declares this
+  but raises NotImplementedError at modeling_aslm.py:258-259; here it is
+  implemented.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from aat_tpu.models import hubert as hub
+from aat_tpu.models import llama as llm
+from aat_tpu.ops.ragged import masked_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolingConfig:
+    """AudioEmbeddingsEncoderPooling dims (reference modeling_aslm.py:14)."""
+
+    hidden_dim: int = 4096
+    num_heads: int = 32
+    num_layers: int = 4
+    ffn_dim: int = 2048  # torch TransformerEncoderLayer default
+    max_positions: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class AslmConfig:
+    projection_type: str = "linear"  # linear | transformer_encoder | mean
+    audio_encoder_embeddings_seq_len: int = 1
+    audio_encoder_hidden: int = 1024
+    lm_hidden: int = 576
+    projection_hidden: int = 4096  # reference MLP hidden (modeling_aslm.py:121)
+    pooling: PoolingConfig = PoolingConfig()
+    # learned audio frame tokens (reference nn.Embedding(2, H): BOS id 0, EOS id 1)
+    audio_bos_token_id: int = 0
+    audio_eos_token_id: int = 1
+    dropout: float = 0.1
+
+
+def init_aslm_params(rng: jax.Array, config: AslmConfig, std: float = 0.02) -> dict:
+    """Projection/pooling/audio-token parameters (the trainable adapter part;
+    encoder and decoder params live in their own trees). Matches the
+    reference ``reinitialize_weights`` normal(0, 0.02) init
+    (modeling_aslm.py:140-163)."""
+    keys = iter(jax.random.split(rng, 64))
+    e, h_lm = config.audio_encoder_hidden, config.lm_hidden
+
+    def dense(k, din, dout):
+        return {"kernel": jax.random.normal(k, (din, dout)) * std,
+                "bias": jnp.zeros((dout,))}
+
+    params: dict = {
+        "audio_tokens_embeddings": {
+            "embedding": jax.random.normal(next(keys), (2, h_lm)) * std
+        },
+    }
+    if config.projection_type == "linear":
+        k = config.audio_encoder_embeddings_seq_len
+        params["projection"] = {
+            "in": dense(next(keys), e * k, config.projection_hidden),
+            "out": dense(next(keys), config.projection_hidden, h_lm),
+        }
+    elif config.projection_type == "mean":
+        params["projection"] = {"out": dense(next(keys), e, h_lm)}
+    elif config.projection_type == "transformer_encoder":
+        p = config.pooling
+        params["cls_token"] = {
+            "embedding": jax.random.normal(next(keys), (1, e)) * std
+        }
+        pooling = {
+            "l_in": dense(next(keys), e, p.hidden_dim),
+            "positional_embeddings": {
+                "embedding": jax.random.normal(next(keys), (p.max_positions, p.hidden_dim)) * std
+            },
+            "l_out": dense(next(keys), p.hidden_dim, h_lm),
+            "layers": [],
+        }
+        for _ in range(p.num_layers):
+            pooling["layers"].append({
+                "attention": {
+                    "in_proj": dense(next(keys), p.hidden_dim, 3 * p.hidden_dim),
+                    "out_proj": dense(next(keys), p.hidden_dim, p.hidden_dim),
+                },
+                "norm1": {"scale": jnp.ones((p.hidden_dim,)), "bias": jnp.zeros((p.hidden_dim,))},
+                "norm2": {"scale": jnp.ones((p.hidden_dim,)), "bias": jnp.zeros((p.hidden_dim,))},
+                "linear1": dense(next(keys), p.hidden_dim, p.ffn_dim),
+                "linear2": dense(next(keys), p.ffn_dim, p.hidden_dim),
+            })
+        params["pooling"] = pooling
+    else:
+        raise ValueError(f"unsupported projection_type: {config.projection_type}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Pooling encoder (torch nn.TransformerEncoder pre-LN semantics)
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return jnp.einsum("...i,io->...o", x, p["kernel"],
+                      preferred_element_type=jnp.float32).astype(x.dtype) + p["bias"]
+
+
+def _pooling_mha(p, x, key_padding_mask, num_heads):
+    """torch nn.MultiheadAttention with packed qkv, batch_first."""
+    b, t, d = x.shape
+    hd = d // num_heads
+    qkv = _dense(x, p["in_proj"])  # [B, T, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(z):
+        return z.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    neg = jnp.finfo(jnp.float32).min
+    bias = jnp.where(key_padding_mask[:, None, None, :], neg, 0.0)
+    probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return _dense(ctx, p["out_proj"])
+
+
+def pooling_forward(
+    params: dict,
+    config: PoolingConfig,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """AudioEmbeddingsEncoderPooling.forward parity
+    (reference modeling_aslm.py:38-60): l_in → +pos → pre-LN transformer
+    with key-padding mask → l_out on the CLS position → [N, 1, out_dim]."""
+    h = _dense(inputs_embeds, params["l_in"])
+    t = h.shape[1]
+    h = h + params["positional_embeddings"]["embedding"][:t, :]
+    key_padding = attention_mask == 0
+
+    for layer in params["layers"]:
+        attn_in = _layer_norm(h, layer["norm1"])
+        h = h + _pooling_mha(layer["attention"], attn_in, key_padding, config.num_heads)
+        ff_in = _layer_norm(h, layer["norm2"])
+        h = h + _dense(jax.nn.relu(_dense(ff_in, layer["linear1"])), layer["linear2"])
+
+    return _dense(h[:, 0:1, :], params["l_out"])
+
+
+# ---------------------------------------------------------------------------
+# ASLM composition
+# ---------------------------------------------------------------------------
+
+
+class AslmModel:
+    """Functional ASLM: methods take explicit parameter trees.
+
+    ``params`` layout: {"audio_encoder": ..., "adapter": ..., "lm_decoder": ...}
+    """
+
+    def __init__(
+        self,
+        config: AslmConfig,
+        audio_encoder_config: hub.HubertConfig,
+        lm_config: llm.LlamaConfig,
+    ):
+        self.config = config
+        self.audio_encoder_config = audio_encoder_config
+        self.lm_config = lm_config
+
+    def init_params(self, rng: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {
+            "audio_encoder": hub.init_hubert_params(k1, self.audio_encoder_config),
+            "adapter": init_aslm_params(k2, self.config),
+            "lm_decoder": llm.init_llama_params(k3, self.lm_config),
+        }
+
+    # ---- audio path (reference encode_audio, modeling_aslm.py:165-229) ----
+
+    def encode_audio(
+        self,
+        params: dict,
+        waveforms: jnp.ndarray,
+        waveforms_mask: Optional[jnp.ndarray] = None,
+        segments_mask: Optional[jnp.ndarray] = None,
+    ):
+        """[N, F] segment waveforms → ([N, T, E] frames, [N, T] frame mask).
+
+        ``segments_mask`` [N] marks real (non-padding) segments; frames of
+        padded segments are masked out (reference :195-218 zeroes them via
+        the segments-boarders mask).
+        """
+        frames, frame_mask = hub.hubert_encode(
+            params["audio_encoder"], self.audio_encoder_config, waveforms, waveforms_mask
+        )
+        if frame_mask is None:
+            frame_mask = jnp.ones(frames.shape[:2], dtype=bool)
+        if segments_mask is not None:
+            frame_mask = frame_mask & segments_mask[:, None].astype(bool)
+        return frames, frame_mask
+
+    # ---- projection (reference audio_embeddings_projection, :232-294) ----
+
+    def project_audio_embeddings(
+        self, params: dict, audio_embeds: jnp.ndarray, frame_mask: jnp.ndarray
+    ):
+        """[N, T, E] + [N, T] → ([N, P, H_lm], [N, P] mask)."""
+        cfg = self.config
+        adapter = params["adapter"]
+        n = audio_embeds.shape[0]
+
+        if cfg.projection_type == "transformer_encoder":
+            cls = jnp.broadcast_to(
+                adapter["cls_token"]["embedding"][0][None, None, :],
+                (n, 1, audio_embeds.shape[-1]),
+            ).astype(audio_embeds.dtype)
+            with_cls = jnp.concatenate([cls, audio_embeds], axis=1)
+            mask_with_cls = jnp.concatenate(
+                [jnp.ones((n, 1), frame_mask.dtype), frame_mask], axis=1
+            )
+            projected = pooling_forward(
+                adapter["pooling"], cfg.pooling, with_cls, mask_with_cls
+            )  # [N, 1, H_lm]
+            out_mask = jnp.any(frame_mask, axis=-1, keepdims=True)
+            return projected, out_mask
+
+        if cfg.projection_type == "linear":
+            k = cfg.audio_encoder_embeddings_seq_len
+            t = audio_embeds.shape[1]
+            cropped_t = t - (t % k)
+            reduced_t = cropped_t // k
+            x = audio_embeds * frame_mask[..., None].astype(audio_embeds.dtype)
+            x = x[:, :cropped_t, :].reshape(n, reduced_t, -1)
+            y = _dense(jax.nn.relu(_dense(x, adapter["projection"]["in"])),
+                       adapter["projection"]["out"])
+            out_mask = jnp.any(
+                frame_mask[:, :cropped_t].reshape(n, reduced_t, k), axis=-1
+            )
+            return y, out_mask
+
+        if cfg.projection_type == "mean":
+            pooled = masked_mean(audio_embeds, frame_mask)  # [N, E]
+            y = _dense(pooled[:, None, :], adapter["projection"]["out"])
+            out_mask = jnp.any(frame_mask, axis=-1, keepdims=True)
+            return y, out_mask
+
+        raise ValueError(f"unsupported projection_type: {cfg.projection_type}")
+
+    # ---- input assembly (reference prepare_audio_inputs, :296-369) --------
+
+    def prepare_audio_inputs(
+        self,
+        params: dict,
+        audio_embeds: jnp.ndarray,
+        frame_mask: jnp.ndarray,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        input_ids: Optional[jnp.ndarray] = None,
+        segments_count: Optional[int] = None,
+    ) -> dict:
+        """Project audio, wrap with audio BOS/EOS embeddings, concat text.
+
+        When ``segments_count`` is given, audio_embeds is ``[B*S, ...]`` with
+        one projected vector per segment; it is unflattened to ``[B, S, H]``
+        (reference :317-322).
+        """
+        cfg = self.config
+        if input_ids is not None:
+            inputs_embeds = self.encode_text(params, input_ids)
+
+        projected, proj_mask = self.project_audio_embeddings(
+            params, audio_embeds, frame_mask
+        )
+
+        if segments_count is not None:
+            h = projected.shape[-1]
+            projected = projected.squeeze(1).reshape(-1, segments_count, h)
+            proj_mask = proj_mask.squeeze(1).reshape(-1, segments_count)
+
+        batch_size = projected.shape[0]
+        emb = params["adapter"]["audio_tokens_embeddings"]["embedding"]
+        bos = jnp.broadcast_to(
+            emb[cfg.audio_bos_token_id][None, None, :], (batch_size, 1, emb.shape[-1])
+        ).astype(projected.dtype)
+        eos = jnp.broadcast_to(
+            emb[cfg.audio_eos_token_id][None, None, :], (batch_size, 1, emb.shape[-1])
+        ).astype(projected.dtype)
+
+        pieces = [bos, projected, eos]
+        ones = jnp.ones((batch_size, 1), dtype=jnp.int32)
+        mask_pieces = [ones, proj_mask.astype(jnp.int32), ones]
+        if inputs_embeds is not None:
+            pieces.append(inputs_embeds.astype(projected.dtype))
+            if attention_mask is None:
+                attention_mask = jnp.ones(inputs_embeds.shape[:2], dtype=jnp.int32)
+            mask_pieces.append(attention_mask.astype(jnp.int32))
+
+        return {
+            "inputs_embeds": jnp.concatenate(pieces, axis=1),
+            "attention_mask": jnp.concatenate(mask_pieces, axis=1),
+            "audio_embeds": projected,
+            "audio_embeds_attention_mask": proj_mask,
+        }
+
+    # ---- LM delegation ---------------------------------------------------
+
+    def encode_text(self, params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return llm.embed_tokens(params["lm_decoder"], input_ids)
+
+    def forward(
+        self,
+        params: dict,
+        inputs_embeds: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """LM forward over assembled embeds → logits (reference :371-379)."""
+        logits, _ = llm.llama_forward(
+            params["lm_decoder"], self.lm_config,
+            inputs_embeds=inputs_embeds, attention_mask=attention_mask,
+        )
+        return logits

@@ -1,0 +1,319 @@
+"""HuBERT / wav2vec2 speech encoder in pure JAX.
+
+Capability parity with the reference's use of ``transformers.HubertModel`` /
+``Wav2Vec2Model`` as the segment audio encoder
+(/root/reference/scripts/trainer_train.py:195-215,
+/root/reference/src/aslm/modeling_aslm.py:165-229). Re-designed for TPU:
+functional modules over explicit parameter pytrees, bf16-friendly matmuls
+with float32 accumulation, static shapes, and attention that can route
+through the Pallas flash kernel (aat_tpu.ops.attention).
+
+Architecture (both families share it at inference time):
+  conv feature extractor (7 strided 1-D convs, 'group' or 'layer' norm)
+  → feature projection (LayerNorm → Linear → dropout)
+  → convolutional relative positional embedding (grouped conv, weight-norm)
+  → transformer encoder (post-LN 'base' or pre-LN 'stable layer norm' large)
+
+Weights port from torch checkpoints via aat_tpu.utils.port.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"  # 'layer' (large) | 'group' (base)
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    layer_norm_eps: float = 1e-5
+    do_stable_layer_norm: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    feature_projection_dropout: float = 0.0
+    hidden_dropout: float = 0.0
+    attention_dropout: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def hubert_large_config() -> HubertConfig:
+    """facebook/hubert-large-ls960-ft (the reference default encoder)."""
+    return HubertConfig()
+
+
+def hubert_base_config() -> HubertConfig:
+    return HubertConfig(
+        conv_bias=False,
+        feat_extract_norm="group",
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        do_stable_layer_norm=False,
+    )
+
+
+def wav2vec2_large_config() -> HubertConfig:
+    """facebook/wav2vec2-large-lv60: same inference graph as hubert-large."""
+    return HubertConfig()
+
+
+def tiny_test_config() -> HubertConfig:
+    """Small random config for hermetic parity tests against torch."""
+    return HubertConfig(
+        conv_dim=(16, 16, 16),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def init_hubert_params(rng: jax.Array, config: HubertConfig) -> dict:
+    """Random-normal init (std 0.02 fan-in style), shapes match the ported
+    checkpoint layout. Kernels are stored as [K, C_in, C_out] (NHC conv)."""
+    keys = iter(jax.random.split(rng, 256))
+    std = 0.02
+
+    def dense(k, din, dout):
+        return {
+            "kernel": jax.random.normal(k, (din, dout)) * std,
+            "bias": jnp.zeros((dout,)),
+        }
+
+    def layernorm(d):
+        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+    params: dict = {"feature_extractor": []}
+    in_ch = 1
+    for i, (dim, kernel) in enumerate(zip(config.conv_dim, config.conv_kernel)):
+        layer = {
+            "conv": {
+                "kernel": jax.random.normal(next(keys), (kernel, in_ch, dim)) * std,
+            }
+        }
+        if config.conv_bias:
+            layer["conv"]["bias"] = jnp.zeros((dim,))
+        if config.feat_extract_norm == "layer":
+            layer["layer_norm"] = layernorm(dim)
+        elif i == 0:  # 'group': group norm only on the first conv layer
+            layer["group_norm"] = layernorm(dim)
+        params["feature_extractor"].append(layer)
+        in_ch = dim
+
+    h = config.hidden_size
+    params["feature_projection"] = {
+        "layer_norm": layernorm(config.conv_dim[-1]),
+        "projection": dense(next(keys), config.conv_dim[-1], h),
+    }
+    params["pos_conv"] = {
+        "kernel": jax.random.normal(
+            next(keys),
+            (config.num_conv_pos_embeddings,
+             h // config.num_conv_pos_embedding_groups, h),
+        ) * std,
+        "bias": jnp.zeros((h,)),
+    }
+    params["layers"] = []
+    for _ in range(config.num_hidden_layers):
+        params["layers"].append({
+            "attention": {
+                "q": dense(next(keys), h, h),
+                "k": dense(next(keys), h, h),
+                "v": dense(next(keys), h, h),
+                "out": dense(next(keys), h, h),
+            },
+            "layer_norm": layernorm(h),
+            "feed_forward": {
+                "intermediate": dense(next(keys), h, config.intermediate_size),
+                "output": dense(next(keys), config.intermediate_size, h),
+            },
+            "final_layer_norm": layernorm(h),
+        })
+    params["encoder_layer_norm"] = layernorm(h)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return jnp.einsum("...i,io->...o", x, p["kernel"],
+                      preferred_element_type=jnp.float32).astype(x.dtype) + p["bias"]
+
+
+def _conv1d(x, kernel, bias=None, stride=1, padding="VALID", groups=1):
+    """NHC conv: x [B, L, C_in], kernel [K, C_in/groups, C_out]."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding=padding,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def feature_extractor(params, config: HubertConfig, waveform: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] → [B, T, conv_dim[-1]] (49.95 Hz frame rate at 16 kHz)."""
+    x = waveform[..., None]  # [B, L, 1]
+    for i, layer in enumerate(params["feature_extractor"]):
+        x = _conv1d(
+            x, layer["conv"]["kernel"], layer["conv"].get("bias"),
+            stride=config.conv_stride[i],
+        )
+        if "layer_norm" in layer:
+            x = _layer_norm(x, layer["layer_norm"], config.layer_norm_eps)
+        if "group_norm" in layer:
+            # torch GroupNorm(num_groups=dim, num_channels=dim): per-channel
+            # normalization over the length dimension.
+            mean = jnp.mean(x, axis=-2, keepdims=True)
+            var = jnp.var(x, axis=-2, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + config.layer_norm_eps)
+            x = x * layer["group_norm"]["scale"] + layer["group_norm"]["bias"]
+        x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
+def feature_lengths(config: HubertConfig, input_lengths: jnp.ndarray) -> jnp.ndarray:
+    """Conv output lengths (the torch ``_get_feat_extract_output_lengths``)."""
+    lengths = input_lengths
+    for kernel, stride in zip(config.conv_kernel, config.conv_stride):
+        lengths = (lengths - kernel) // stride + 1
+    return lengths
+
+
+def feature_vector_attention_mask(
+    config: HubertConfig, feature_seq_len: int, attention_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """[B, L] sample mask → [B, T] frame mask (reference encode_audio uses the
+    torch twin at src/aslm/modeling_aslm.py:217)."""
+    out_lens = feature_lengths(config, attention_mask.sum(-1))
+    return jnp.arange(feature_seq_len)[None, :] < out_lens[:, None]
+
+
+def _pos_conv_embedding(params, config: HubertConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    k = config.num_conv_pos_embeddings
+    pad = k // 2
+    out = _conv1d(
+        jnp.pad(hidden, ((0, 0), (pad, pad), (0, 0))),
+        params["pos_conv"]["kernel"], params["pos_conv"]["bias"],
+        groups=config.num_conv_pos_embedding_groups,
+    )
+    if k % 2 == 0:  # SamePad: drop the trailing element for even kernels
+        out = out[:, :-1, :]
+    return jax.nn.gelu(out, approximate=False)
+
+
+def _attention(params, config: HubertConfig, x: jnp.ndarray, mask_bias: Optional[jnp.ndarray]):
+    b, t, h = x.shape
+    nh, hd = config.num_attention_heads, config.head_dim
+    q = _dense(x, params["q"]) * (hd ** -0.5)
+    k = _dense(x, params["k"])
+    v = _dense(x, params["v"])
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask_bias is not None:
+        scores = scores + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
+    return _dense(ctx, params["out"])
+
+
+def _feed_forward(params, x):
+    y = jax.nn.gelu(_dense(x, params["intermediate"]), approximate=False)
+    return _dense(y, params["output"])
+
+
+def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
+            frame_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    eps = config.layer_norm_eps
+    mask_bias = None
+    if frame_mask is not None:
+        hidden = hidden * frame_mask[..., None].astype(hidden.dtype)
+        neg = jnp.finfo(jnp.float32).min
+        mask_bias = (1.0 - frame_mask[:, None, None, :].astype(jnp.float32)) * neg
+
+    hidden = hidden + _pos_conv_embedding(params, config, hidden)
+    if not config.do_stable_layer_norm:
+        hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
+
+    for layer in params["layers"]:
+        if config.do_stable_layer_norm:  # pre-LN (large)
+            attn_in = _layer_norm(hidden, layer["layer_norm"], eps)
+            hidden = hidden + _attention(layer["attention"], config, attn_in, mask_bias)
+            ff_in = _layer_norm(hidden, layer["final_layer_norm"], eps)
+            hidden = hidden + _feed_forward(layer["feed_forward"], ff_in)
+        else:  # post-LN (base)
+            hidden = hidden + _attention(layer["attention"], config, hidden, mask_bias)
+            hidden = _layer_norm(hidden, layer["layer_norm"], eps)
+            hidden = hidden + _feed_forward(layer["feed_forward"], hidden)
+            hidden = _layer_norm(hidden, layer["final_layer_norm"], eps)
+
+    if config.do_stable_layer_norm:
+        hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
+    return hidden
+
+
+def hubert_encode(
+    params: dict,
+    config: HubertConfig,
+    waveform: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full encoder: [B, L] waveforms → ([B, T, H] frames, [B, T] frame mask).
+
+    Mirrors ``HubertModel.forward`` inference semantics (mask_time_prob=0,
+    the reference loads encoders that way, scripts/trainer_train.py:204).
+    """
+    features = feature_extractor(params, config, waveform)
+    frame_mask = None
+    if attention_mask is not None:
+        frame_mask = feature_vector_attention_mask(
+            config, features.shape[1], attention_mask
+        )
+    fp = params["feature_projection"]
+    hidden = _layer_norm(features, fp["layer_norm"], config.layer_norm_eps)
+    hidden = _dense(hidden, fp["projection"])
+    hidden = encoder(params, config, hidden, frame_mask)
+    return hidden, frame_mask

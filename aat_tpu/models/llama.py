@@ -1,0 +1,280 @@
+"""Llama-family causal LM decoder in pure JAX.
+
+Capability parity with the reference's LM decoder: SmolLM-135M-Instruct /
+Qwen1.5-1.8B loaded through ``LlamaForCausalLM``
+(/root/reference/scripts/trainer_train.py:180-192,
+src/aat/training/config.py:42,98). TPU-first design: functional modules
+over parameter pytrees, RoPE in float32, GQA, static-shape KV cache for
+generation (lax-friendly), matmuls with float32 accumulation so bf16
+params/activations stay stable.
+
+The ASLM wrapper feeds this decoder ``inputs_embeds`` (audio segment
+embeddings concatenated with text embeddings) exactly like the reference's
+``AslmModel.forward`` → ``lm_decoder.forward`` path
+(src/aslm/modeling_aslm.py:371-379).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 49152
+    hidden_size: int = 576
+    intermediate_size: int = 1536
+    num_hidden_layers: int = 30
+    num_attention_heads: int = 9
+    num_key_value_heads: int = 3
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 2048
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def smollm_135m_config() -> LlamaConfig:
+    """HuggingFaceTB/SmolLM-135M-Instruct (reference TrainConfig default)."""
+    return LlamaConfig()
+
+
+def qwen15_18b_config() -> LlamaConfig:
+    """Qwen/Qwen1.5-1.8B via the Llama architecture (attention biases on)."""
+    return LlamaConfig(
+        vocab_size=151936,
+        hidden_size=2048,
+        intermediate_size=5504,
+        num_hidden_layers=24,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        rope_theta=1000000.0,
+        max_position_embeddings=32768,
+        tie_word_embeddings=False,
+        attention_bias=True,
+    )
+
+
+def tiny_test_config() -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+
+
+def init_llama_params(rng: jax.Array, config: LlamaConfig, std: float = 0.02) -> dict:
+    keys = iter(jax.random.split(rng, 8 * config.num_hidden_layers + 8))
+    h, kvh = config.hidden_size, config.num_key_value_heads * config.head_dim
+
+    def dense(k, din, dout, bias):
+        p = {"kernel": jax.random.normal(k, (din, dout)) * std}
+        if bias:
+            p["bias"] = jnp.zeros((dout,))
+        return p
+
+    params = {
+        "embed_tokens": {"embedding": jax.random.normal(next(keys), (config.vocab_size, h)) * std},
+        "layers": [],
+        "final_norm": {"scale": jnp.ones((h,))},
+    }
+    for _ in range(config.num_hidden_layers):
+        params["layers"].append({
+            "input_norm": {"scale": jnp.ones((h,))},
+            "attention": {
+                "q": dense(next(keys), h, h, config.attention_bias),
+                "k": dense(next(keys), h, kvh, config.attention_bias),
+                "v": dense(next(keys), h, kvh, config.attention_bias),
+                "out": dense(next(keys), h, h, False),
+            },
+            "post_attention_norm": {"scale": jnp.ones((h,))},
+            "mlp": {
+                "gate": dense(next(keys), h, config.intermediate_size, False),
+                "up": dense(next(keys), h, config.intermediate_size, False),
+                "down": dense(next(keys), config.intermediate_size, h, False),
+            },
+        })
+    if not config.tie_word_embeddings:
+        params["lm_head"] = dense(next(keys), h, config.vocab_size, False)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x, p, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * p["scale"]
+
+
+def _dense(x, p):
+    y = jnp.einsum("...i,io->...o", x, p["kernel"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
+    """positions [B, T] → cos/sin [B, T, head_dim] (float32, HF layout:
+    the half-split rotate, inv_freq repeated twice)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(q, k, cos, sin):
+    # q/k: [B, H, T, D]; cos/sin: [B, T, D]
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = q32 * cos + _rotate_half(q32) * sin
+    k_out = k32 * cos + _rotate_half(k32) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_index):
+    b, t, h = x.shape
+    nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    q = _dense(x, p["q"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = _dense(x, p["k"]).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = _dense(x, p["v"]).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    q, k = _apply_rope(q, k, cos, sin)
+
+    new_cache = None
+    if kv_cache is not None:
+        ck, cv = kv_cache  # [B, nkv, L_cache, D]
+        k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        new_cache = (k, v)
+
+    if nkv != nh:
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    scores = scores + mask_bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
+    return _dense(ctx, p["out"]), new_cache
+
+
+def _mlp(p, x):
+    gate = jax.nn.silu(_dense(x, p["gate"]))
+    return _dense(gate * _dense(x, p["up"]), p["down"])
+
+
+def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup (the reference's ``encode_text``,
+    src/aslm/modeling_aslm.py:381-382)."""
+    return params["embed_tokens"]["embedding"][input_ids]
+
+
+def causal_mask_bias(
+    attention_mask: jnp.ndarray, q_len: int, kv_len: int, q_offset
+) -> jnp.ndarray:
+    """Additive [B, 1, Q, K] bias combining causality and padding.
+
+    ``attention_mask``: [B, kv_len] 1/0 padding mask over the key axis.
+    ``q_offset``: position of query 0 in the kv axis (0 for prefill,
+    cache_index for decode).
+    """
+    neg = jnp.finfo(jnp.float32).min
+    q_pos = jnp.arange(q_len)[:, None] + q_offset
+    k_pos = jnp.arange(kv_len)[None, :]
+    causal = k_pos <= q_pos  # [Q, K]
+    allowed = causal[None, :, :] & (attention_mask[:, None, :] > 0)
+    return jnp.where(allowed, 0.0, neg)[:, None, :, :]
+
+
+def llama_forward(
+    params: dict,
+    config: LlamaConfig,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    kv_caches: Optional[list] = None,
+    cache_index: int | jnp.ndarray = 0,
+) -> Tuple[jnp.ndarray, Optional[list]]:
+    """Returns (logits [B, T, V], new_kv_caches).
+
+    Prefill: pass embeds/ids and a [B, T] attention_mask.
+    Decode: pass the next-token embeds, kv_caches, cache_index, and a
+    [B, L_cache] attention_mask over the cache axis.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(params, input_ids)
+    b, t, _ = inputs_embeds.shape
+
+    kv_len = t if kv_caches is None else kv_caches[0][0].shape[2]
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, kv_len), dtype=jnp.int32)
+    if positions is None:
+        if kv_caches is None:
+            positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+        else:
+            positions = cache_index + jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+
+    cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta)
+    mask_bias = causal_mask_bias(
+        attention_mask, t, kv_len, 0 if kv_caches is None else cache_index
+    )
+
+    hidden = inputs_embeds
+    new_caches = [] if kv_caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        attn_in = _rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
+        cache = kv_caches[i] if kv_caches is not None else None
+        attn_out, new_cache = _attention(
+            layer["attention"], config, attn_in, cos, sin, mask_bias, cache, cache_index
+        )
+        hidden = hidden + attn_out
+        mlp_in = _rms_norm(hidden, layer["post_attention_norm"], config.rms_norm_eps)
+        hidden = hidden + _mlp(layer["mlp"], mlp_in)
+        if new_caches is not None:
+            new_caches.append(new_cache)
+
+    hidden = _rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
+    if config.tie_word_embeddings:
+        logits = jnp.einsum("bth,vh->btv", hidden, params["embed_tokens"]["embedding"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,hv->btv", hidden, params["lm_head"]["kernel"],
+                            preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def init_kv_caches(config: LlamaConfig, batch_size: int, max_len: int, dtype=jnp.float32):
+    """Static-shape per-layer (k, v) caches for decoding."""
+    shape = (batch_size, config.num_key_value_heads, max_len, config.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(config.num_hidden_layers)
+    ]

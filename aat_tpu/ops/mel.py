@@ -260,20 +260,7 @@ def log_mel_spectrogram(
 
     frames = frame_waveform(waveform.astype(jnp.float32), n_fft, hop_length)
 
-    if use_pallas:
-        from aat_tpu.ops.mel_pallas import fused_melspec_pallas
-
-        logmel = fused_melspec_pallas(frames, basis, mel_filters)  # [..., T, n_mels]
-    else:
-        spec = jnp.einsum(
-            "...tn,nk->...tk", frames, basis, preferred_element_type=jnp.float32
-        )  # [..., T, 2*bins]
-        power = spec[..., :bins] ** 2 + spec[..., bins:] ** 2
-        mel = jnp.maximum(MEL_FLOOR, jnp.einsum(
-            "...tb,bm->...tm", power, mel_filters, preferred_element_type=jnp.float32
-        ))
-        logmel = jnp.log10(mel)
-
+    logmel = _mel_from_frames(frames, basis, mel_filters, bins, use_pallas)
     return jnp.swapaxes(logmel, -1, -2)  # [..., n_mels, T]
 
 
@@ -282,11 +269,21 @@ def _mel_from_frames(frames, basis, mel_filters, bins, use_pallas):
         from aat_tpu.ops.mel_pallas import fused_melspec_pallas
 
         return fused_melspec_pallas(frames, basis, mel_filters)
-    spec = jnp.einsum("...tn,nk->...tk", frames, basis, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: on TPU the default f32 dot uses bf16 MXU passes
+    # (~1e-2 abs error) — too noisy for the epsilon-guarded boundary
+    # comparator downstream; full-f32 passes cost ~3x on a kernel that is
+    # already >>100x faster than the 100x-realtime target.
+    spec = jnp.einsum(
+        "...tn,nk->...tk", frames, basis,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # [..., T, 2*bins]
     power = spec[..., :bins] ** 2 + spec[..., bins:] ** 2
     mel = jnp.maximum(
         MEL_FLOOR,
-        jnp.einsum("...tb,bm->...tm", power, mel_filters, preferred_element_type=jnp.float32),
+        jnp.einsum(
+            "...tb,bm->...tm", power, mel_filters,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        ),
     )
     return jnp.log10(mel)
 

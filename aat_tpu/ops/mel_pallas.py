@@ -34,10 +34,14 @@ _MEL_PAD = 128  # 64 mel channels padded up
 
 
 def _mel_kernel(frames_ref, basis_ref, mel_ref, out_ref):
+    # precision=HIGHEST keeps the MXU in full-f32 passes (see ops/mel.py);
+    # boundary parity downstream depends on it.
     frames = frames_ref[:]
-    spec = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
+    spec = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     power = spec[:, :_BIN_PAD] ** 2 + spec[:, _BIN_PAD:] ** 2
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.log10(jnp.maximum(MEL_FLOOR, mel))
 
 

@@ -7,8 +7,11 @@ real-TPU execution is covered by bench.py and the driver's compile checks.
 import os
 import sys
 
-# Must be set before jax (or anything importing jax) is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes backends. The machine environment pins
+# JAX_PLATFORMS=axon (the real TPU tunnel) and a sitecustomize hook registers
+# the axon plugin with jax_platforms="axon,cpu" — env overrides alone are
+# ineffective; the config update below is what forces hermetic CPU tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

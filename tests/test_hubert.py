@@ -1,0 +1,123 @@
+"""HuBERT/wav2vec2 encoder parity vs torch (hermetic: tiny random configs,
+no downloads). Oracle: transformers HubertModel in eval mode — the exact
+module the reference uses as its audio encoder
+(scripts/trainer_train.py:195-215)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+# This host's oneDNN build runs conv/matmul in bf16 fastmath (~8e-3 error),
+# which would corrupt the oracle; force full-precision torch kernels.
+torch.backends.mkldnn.enabled = False
+
+import jax.numpy as jnp  # noqa: E402
+
+from aat_tpu.models import hubert as hub  # noqa: E402
+from aat_tpu.ops.ragged import masked_mean  # noqa: E402
+from aat_tpu.utils.port import port_hubert  # noqa: E402
+
+
+def build_torch_hubert(stable=True, norm="layer"):
+    cfg = transformers.HubertConfig(
+        vocab_size=32,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3),
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=stable,
+        feat_extract_norm=norm,
+        mask_time_prob=0.0,
+        layerdrop=0.0,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.HubertModel(cfg)
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("stable,norm", [(True, "layer"), (False, "group")])
+def test_hubert_forward_parity(stable, norm):
+    tm = build_torch_hubert(stable=stable, norm=norm)
+    params, config = port_hubert(tm)
+    assert config.do_stable_layer_norm == stable
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(0, 0.5, (2, 2000)).astype(np.float32)
+    mask = np.ones((2, 2000), dtype=np.int64)
+    mask[1, 1200:] = 0
+
+    with torch.no_grad():
+        ref = tm(
+            input_values=torch.from_numpy(wav),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+
+    ours, frame_mask = hub.hubert_encode(params, config, jnp.asarray(wav), jnp.asarray(mask))
+    ours = np.asarray(ours)
+    assert ours.shape == ref.shape
+
+    fm = np.asarray(frame_mask)
+    # compare only valid frames (padding rows differ where torch zeroes inputs)
+    diff = np.abs(ours - ref)[fm]
+    assert diff.max() < 2e-4, f"max diff {diff.max()}"
+
+
+def test_feature_lengths_match_torch():
+    tm = build_torch_hubert()
+    _, config = port_hubert(tm)
+    lengths = np.array([2000, 1200, 37, 1999])
+    ref = tm._get_feat_extract_output_lengths(torch.tensor(lengths)).numpy()
+    ours = np.asarray(hub.feature_lengths(config, jnp.asarray(lengths)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_feature_vector_attention_mask_matches_torch():
+    tm = build_torch_hubert()
+    params, config = port_hubert(tm)
+    mask = np.ones((3, 2000), dtype=np.int64)
+    mask[1, 777:] = 0
+    mask[2, 100:] = 0
+    t = int(hub.feature_lengths(config, jnp.asarray([2000]))[0])
+    ref = tm._get_feature_vector_attention_mask(t, torch.from_numpy(mask)).numpy()
+    ours = np.asarray(
+        hub.feature_vector_attention_mask(config, t, jnp.asarray(mask))
+    ).astype(ref.dtype)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_segment_mean_embedding_parity():
+    """BASELINE config 2 analogue: mean-pooled segment embeddings must match
+    the torch mean over valid frames (<1e-3 MSE north star; we hold <1e-6
+    at tiny scale)."""
+    tm = build_torch_hubert()
+    params, config = port_hubert(tm)
+    rng = np.random.default_rng(1)
+    wav = rng.normal(0, 0.5, (3, 1600)).astype(np.float32)
+    mask = np.ones((3, 1600), dtype=np.int64)
+    mask[2, 800:] = 0
+
+    with torch.no_grad():
+        ref_frames = tm(
+            input_values=torch.from_numpy(wav), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+    t = ref_frames.shape[1]
+    ref_fm = tm._get_feature_vector_attention_mask(t, torch.from_numpy(mask)).numpy()
+    ref_mean = (ref_frames * ref_fm[..., None]).sum(1) / ref_fm.sum(1, keepdims=True)
+
+    ours, fm = hub.hubert_encode(params, config, jnp.asarray(wav), jnp.asarray(mask))
+    ours_mean = np.asarray(masked_mean(ours, fm))
+    mse = np.mean((ours_mean - ref_mean) ** 2)
+    assert mse < 1e-6, f"segment-mean MSE {mse}"
