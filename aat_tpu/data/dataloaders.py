@@ -1,0 +1,141 @@
+"""Dataloader builders.
+
+Capability parity with /root/reference/src/aat/training/dataloaders.py:18-111:
+build train/val batch iterators over (a) the HF ``nguyenvulebinh/asr-alignment``
+'libris' dataset, (b) an arrow dataset on disk, or (c) any in-memory sequence
+of items — shuffling, few-sample trimming, drop-last.
+
+Torch-free: batches are numpy dicts produced by the collators; device
+placement happens inside the trainer. (The reference's multi-worker
+``DataLoader`` exists to hide the collator's Python hot loop; here the
+collator is vectorized and the heavy segment work runs on-device, so a
+simple prefetching iterator suffices. A C++ prefetcher can be slotted in
+via aat_tpu.runtime.)
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import queue as queue_mod
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_hf_dataset(path_or_name: str, split: Optional[str] = None):
+    """Load a HF dataset by hub name or from disk (arrow). Requires the
+    ``datasets`` package and, for hub names, network access."""
+    import datasets
+
+    if path_or_name.endswith(".dataset") or path_or_name.endswith("/"):
+        return datasets.load_from_disk(path_or_name)
+    ds = datasets.load_dataset(path_or_name, "libris")
+    return ds[split] if split else ds
+
+
+class BatchIterator:
+    """Shuffling, batching, optional background-thread prefetch."""
+
+    def __init__(
+        self,
+        items: Sequence,
+        collate_fn: Callable,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 42,
+        prefetch: int = 2,
+        is_validation: bool = False,
+    ):
+        self.items = items
+        self.collate_fn = collate_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.is_validation = is_validation
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.items)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.items))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        batches = []
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            batches.append(chunk)
+        return batches
+
+    def _collate(self, chunk) -> dict:
+        items = [self.items[int(i)] for i in chunk]
+        try:
+            return self.collate_fn(items, is_validation=self.is_validation)
+        except TypeError:
+            return self.collate_fn(items)
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._index_batches()
+        self._epoch += 1
+        if self.prefetch <= 0:
+            for chunk in batches:
+                yield self._collate(chunk)
+            return
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for chunk in batches:
+                    q.put(self._collate(chunk))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is sentinel:
+                break
+            yield batch
+
+
+def build_dataloaders(
+    train_items: Sequence,
+    val_items: Sequence,
+    collate_fn: Callable,
+    val_collate_fn: Optional[Callable] = None,
+    batch_size: int = 40,
+    val_batch_size: Optional[int] = None,
+    few_train_samples: Optional[int] = None,
+    few_val_samples: Optional[int] = None,
+    seed: int = 42,
+):
+    """Train/val iterator pair (reference build_dataloaders,
+    dataloaders.py:93-111)."""
+    if few_train_samples is not None:
+        train_items = train_items[:few_train_samples]
+    if few_val_samples is not None:
+        val_items = val_items[:few_val_samples]
+    train = BatchIterator(
+        train_items, collate_fn, batch_size, shuffle=True, drop_last=True, seed=seed
+    )
+    val = BatchIterator(
+        val_items,
+        val_collate_fn or collate_fn,
+        val_batch_size or batch_size,
+        shuffle=False,
+        drop_last=False,
+        is_validation=True,
+    )
+    return train, val

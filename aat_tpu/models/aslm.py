@@ -57,54 +57,57 @@ class AslmConfig:
     dropout: float = 0.1
 
 
-def init_aslm_params(rng: jax.Array, config: AslmConfig, std: float = 0.02) -> dict:
+def init_aslm_params(rng, config: AslmConfig, std: float = 0.02) -> dict:
     """Projection/pooling/audio-token parameters (the trainable adapter part;
     encoder and decoder params live in their own trees). Matches the
     reference ``reinitialize_weights`` normal(0, 0.02) init
-    (modeling_aslm.py:140-163)."""
-    keys = iter(jax.random.split(rng, 64))
+    (modeling_aslm.py:140-163). Host-side numpy init (see hubert.np_rng_from)."""
+    import numpy as np
+
+    from aat_tpu.models.hubert import np_rng_from
+
+    r = np_rng_from(rng)
     e, h_lm = config.audio_encoder_hidden, config.lm_hidden
 
-    def dense(k, din, dout):
-        return {"kernel": jax.random.normal(k, (din, dout)) * std,
-                "bias": jnp.zeros((dout,))}
+    def normal(*shape):
+        return r.normal(0.0, std, shape).astype(np.float32)
+
+    def dense(din, dout):
+        return {"kernel": normal(din, dout), "bias": np.zeros((dout,), np.float32)}
+
+    def layernorm(d):
+        return {"scale": np.ones((d,), np.float32), "bias": np.zeros((d,), np.float32)}
 
     params: dict = {
-        "audio_tokens_embeddings": {
-            "embedding": jax.random.normal(next(keys), (2, h_lm)) * std
-        },
+        "audio_tokens_embeddings": {"embedding": normal(2, h_lm)},
     }
     if config.projection_type == "linear":
         k = config.audio_encoder_embeddings_seq_len
         params["projection"] = {
-            "in": dense(next(keys), e * k, config.projection_hidden),
-            "out": dense(next(keys), config.projection_hidden, h_lm),
+            "in": dense(e * k, config.projection_hidden),
+            "out": dense(config.projection_hidden, h_lm),
         }
     elif config.projection_type == "mean":
-        params["projection"] = {"out": dense(next(keys), e, h_lm)}
+        params["projection"] = {"out": dense(e, h_lm)}
     elif config.projection_type == "transformer_encoder":
         p = config.pooling
-        params["cls_token"] = {
-            "embedding": jax.random.normal(next(keys), (1, e)) * std
-        }
+        params["cls_token"] = {"embedding": normal(1, e)}
         pooling = {
-            "l_in": dense(next(keys), e, p.hidden_dim),
-            "positional_embeddings": {
-                "embedding": jax.random.normal(next(keys), (p.max_positions, p.hidden_dim)) * std
-            },
-            "l_out": dense(next(keys), p.hidden_dim, h_lm),
+            "l_in": dense(e, p.hidden_dim),
+            "positional_embeddings": {"embedding": normal(p.max_positions, p.hidden_dim)},
+            "l_out": dense(p.hidden_dim, h_lm),
             "layers": [],
         }
         for _ in range(p.num_layers):
             pooling["layers"].append({
                 "attention": {
-                    "in_proj": dense(next(keys), p.hidden_dim, 3 * p.hidden_dim),
-                    "out_proj": dense(next(keys), p.hidden_dim, p.hidden_dim),
+                    "in_proj": dense(p.hidden_dim, 3 * p.hidden_dim),
+                    "out_proj": dense(p.hidden_dim, p.hidden_dim),
                 },
-                "norm1": {"scale": jnp.ones((p.hidden_dim,)), "bias": jnp.zeros((p.hidden_dim,))},
-                "norm2": {"scale": jnp.ones((p.hidden_dim,)), "bias": jnp.zeros((p.hidden_dim,))},
-                "linear1": dense(next(keys), p.hidden_dim, p.ffn_dim),
-                "linear2": dense(next(keys), p.ffn_dim, p.hidden_dim),
+                "norm1": layernorm(p.hidden_dim),
+                "norm2": layernorm(p.hidden_dim),
+                "linear1": dense(p.hidden_dim, p.ffn_dim),
+                "linear2": dense(p.ffn_dim, p.hidden_dim),
             })
         params["pooling"] = pooling
     else:
@@ -300,9 +303,13 @@ class AslmModel:
         )
 
         if segments_count is not None:
+            # one projected vector per segment (reference :317-322 squeezes
+            # dim 1; only P==1 projections are valid there). For P>1 we
+            # generalize by flattening segments into the sequence axis.
             h = projected.shape[-1]
-            projected = projected.squeeze(1).reshape(-1, segments_count, h)
-            proj_mask = proj_mask.squeeze(1).reshape(-1, segments_count)
+            p = projected.shape[1]
+            projected = projected.reshape(-1, segments_count * p, h)
+            proj_mask = proj_mask.reshape(-1, segments_count * p)
 
         batch_size = projected.shape[0]
         emb = params["adapter"]["audio_tokens_embeddings"]["embedding"]

@@ -1,0 +1,222 @@
+"""EfficientNet-b0 audio encoder adapter in pure JAX.
+
+Capability parity with ``EfficientNetAudioEncdoerAdapter``
+(/root/reference/src/aslm/modeling_aslm.py:66-93): consume per-segment
+mel-spectrograms ``[bs, 1, n_mels, T]``, repeat to 3 channels, run
+EfficientNet-b0 without its classifier head, return a
+``last_hidden_state`` of shape ``[bs, 1, 1280]`` and an all-ones feature
+mask (:91-93).
+
+Architecture: standard EfficientNet-b0 (stem conv → 16 MBConv blocks with
+squeeze-excitation → 1x1 head conv → global average pool), TF-SAME padding
+(matching the reference's Conv2dStaticSamePadding), SiLU activations,
+inference-mode batch norm (running statistics; the adapter is typically
+frozen — scripts/trainer_train.py:216-221 loads pretrained b0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (expand_ratio, channels, repeats, stride, kernel) per stage — b0.
+_B0_BLOCKS = [
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+]
+_STEM_CH = 32
+_HEAD_CH = 1280
+_SE_RATIO = 0.25
+_BN_EPS = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class EfficientNetConfig:
+    hidden_size: int = _HEAD_CH
+    in_channels: int = 3
+
+
+def _conv_params(r, k, cin, cout, groups=1):
+    fan = k * k * cin // groups
+    return {"kernel": (r.normal(0, np.sqrt(2.0 / max(fan, 1)), (k, k, cin // groups, cout))
+                        ).astype(np.float32)}
+
+
+def _bn_params(c):
+    return {
+        "scale": np.ones((c,), np.float32),
+        "bias": np.zeros((c,), np.float32),
+        "mean": np.zeros((c,), np.float32),
+        "var": np.ones((c,), np.float32),
+    }
+
+
+def init_efficientnet_params(seed: int = 0) -> dict:
+    r = np.random.default_rng(seed)
+    params: dict = {
+        "stem": {"conv": _conv_params(r, 3, 3, _STEM_CH), "bn": _bn_params(_STEM_CH)},
+        "blocks": [],
+        "head": {"conv": _conv_params(r, 1, 320, _HEAD_CH), "bn": _bn_params(_HEAD_CH)},
+    }
+    cin = _STEM_CH
+    for t, c, n, s, k in _B0_BLOCKS:
+        for i in range(n):
+            stride = s if i == 0 else 1
+            mid = cin * t
+            block = {"stride": stride, "kernel": k, "cin": cin, "cout": c, "expand": t}
+            p = {}
+            if t != 1:
+                p["expand_conv"] = _conv_params(r, 1, cin, mid)
+                p["expand_bn"] = _bn_params(mid)
+            p["dw_conv"] = _conv_params(r, k, mid, mid, groups=mid)
+            p["dw_bn"] = _bn_params(mid)
+            se = max(1, int(cin * _SE_RATIO))
+            p["se_reduce"] = {
+                "kernel": _conv_params(r, 1, mid, se)["kernel"],
+                "bias": np.zeros((se,), np.float32),
+            }
+            p["se_expand"] = {
+                "kernel": _conv_params(r, 1, se, mid)["kernel"],
+                "bias": np.zeros((mid,), np.float32),
+            }
+            p["project_conv"] = _conv_params(r, 1, mid, c)
+            p["project_bn"] = _bn_params(c)
+            block["params"] = p
+            params["blocks"].append(block)
+            cin = c
+    return params
+
+
+def _conv2d(x, kernel, stride=1, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _bn(x, p):
+    inv = jax.lax.rsqrt(jnp.asarray(p["var"]) + _BN_EPS)
+    return (x - jnp.asarray(p["mean"])) * inv * jnp.asarray(p["scale"]) + jnp.asarray(p["bias"])
+
+
+def _silu(x):
+    return jax.nn.silu(x)
+
+
+def efficientnet_features(params: dict, images: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, 1280] pooled features."""
+    x = _silu(_bn(_conv2d(images, params["stem"]["conv"]["kernel"], stride=2),
+                  params["stem"]["bn"]))
+    for block in params["blocks"]:
+        p = block["params"]
+        inp = x
+        if block["expand"] != 1:
+            x = _silu(_bn(_conv2d(x, p["expand_conv"]["kernel"]), p["expand_bn"]))
+        mid = x.shape[-1]
+        x = _silu(_bn(
+            _conv2d(x, p["dw_conv"]["kernel"], stride=block["stride"], groups=mid),
+            p["dw_bn"],
+        ))
+        # squeeze-excitation
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = _silu(_conv2d(se, p["se_reduce"]["kernel"]) + jnp.asarray(p["se_reduce"]["bias"]))
+        se = jax.nn.sigmoid(_conv2d(se, p["se_expand"]["kernel"]) + jnp.asarray(p["se_expand"]["bias"]))
+        x = x * se
+        x = _bn(_conv2d(x, p["project_conv"]["kernel"]), p["project_bn"])
+        if block["stride"] == 1 and block["cin"] == block["cout"]:
+            x = x + inp
+    x = _silu(_bn(_conv2d(x, params["head"]["conv"]["kernel"]), params["head"]["bn"]))
+    return jnp.mean(x, axis=(1, 2))  # global average pool → [B, 1280]
+
+
+class EfficientNetAudioEncoderAdapter:
+    """Reference adapter semantics (modeling_aslm.py:70-93)."""
+
+    def __init__(self, config: EfficientNetConfig = EfficientNetConfig()):
+        self.config = config
+        # duck-type the HubertConfig surface AslmModel touches
+        self.hidden_size = config.hidden_size
+
+    def __call__(self, params: dict, melspec: jnp.ndarray):
+        """melspec ``[bs, 1, n_mels, T]`` (or ``[bs, n_mels, T]``) →
+        last_hidden_state ``[bs, 1, 1280]``."""
+        if melspec.ndim == 3:
+            melspec = melspec[:, None, :, :]
+        images = jnp.repeat(melspec, 3, axis=1)  # [bs, 3, H, W]
+        images = images.transpose(0, 2, 3, 1)  # NHWC
+        feats = efficientnet_features(params, images)
+        return feats[:, None, :]
+
+    @staticmethod
+    def feature_vector_attention_mask(batch_size: int) -> jnp.ndarray:
+        return jnp.ones((batch_size, 1), dtype=bool)
+
+
+def build_efficientnet_encoder(pretrained: bool = False):
+    """→ (params, EfficientNetConfig). Pretrained loading requires the
+    efficientnet_pytorch package + network; falls back to random init."""
+    cfg = EfficientNetConfig()
+    if pretrained:
+        try:
+            from efficientnet_pytorch import EfficientNet
+
+            torch_model = EfficientNet.from_pretrained("efficientnet-b0").eval()
+            return port_efficientnet(torch_model), cfg
+        except ImportError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "efficientnet_pytorch unavailable; using random init"
+            )
+    return init_efficientnet_params(), cfg
+
+
+def port_efficientnet(torch_model) -> dict:
+    """Port lukemelas/EfficientNet-PyTorch b0 weights into our layout."""
+
+    def t(x):
+        return x.detach().cpu().numpy()
+
+    def conv(m):
+        return {"kernel": t(m.weight).transpose(2, 3, 1, 0)}
+
+    def bn(m):
+        return {
+            "scale": t(m.weight), "bias": t(m.bias),
+            "mean": t(m.running_mean), "var": t(m.running_var),
+        }
+
+    params = init_efficientnet_params()
+    params["stem"] = {"conv": conv(torch_model._conv_stem), "bn": bn(torch_model._bn0)}
+    for block, tb in zip(params["blocks"], torch_model._blocks):
+        p = block["params"]
+        if block["expand"] != 1:
+            p["expand_conv"] = conv(tb._expand_conv)
+            p["expand_bn"] = bn(tb._bn0)
+        dw = conv(tb._depthwise_conv)
+        # torch depthwise [mid,1,k,k] → HWIO [k,k,1,mid]
+        p["dw_conv"] = {"kernel": t(tb._depthwise_conv.weight).transpose(2, 3, 1, 0)}
+        p["dw_bn"] = bn(tb._bn1)
+        p["se_reduce"] = {
+            "kernel": conv(tb._se_reduce)["kernel"], "bias": t(tb._se_reduce.bias)
+        }
+        p["se_expand"] = {
+            "kernel": conv(tb._se_expand)["kernel"], "bias": t(tb._se_expand.bias)
+        }
+        p["project_conv"] = conv(tb._project_conv)
+        p["project_bn"] = bn(tb._bn2)
+    params["head"] = {"conv": conv(torch_model._conv_head), "bn": bn(torch_model._bn1)}
+    return params

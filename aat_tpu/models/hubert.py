@@ -94,31 +94,37 @@ def tiny_test_config() -> HubertConfig:
 # ---------------------------------------------------------------------------
 
 
-def init_hubert_params(rng: jax.Array, config: HubertConfig) -> dict:
-    """Random-normal init (std 0.02 fan-in style), shapes match the ported
-    checkpoint layout. Kernels are stored as [K, C_in, C_out] (NHC conv)."""
-    keys = iter(jax.random.split(rng, 256))
+def np_rng_from(rng) -> np.random.Generator:
+    """Host numpy RNG from a jax PRNG key or int seed. Init runs host-side:
+    bulk numpy arrays avoid per-leaf device round-trips (which are both slow
+    and flaky over remoted TPU backends)."""
+    if isinstance(rng, (int, np.integer)):
+        return np.random.default_rng(int(rng))
+    data = np.asarray(jax.random.key_data(rng)).ravel()
+    return np.random.default_rng(np.random.SeedSequence([int(x) for x in data]))
+
+
+def init_hubert_params(rng, config: HubertConfig) -> dict:
+    """Random-normal init (std 0.02), shapes match the ported checkpoint
+    layout. Kernels are stored as [K, C_in, C_out] (NHC conv)."""
+    r = np_rng_from(rng)
     std = 0.02
 
-    def dense(k, din, dout):
-        return {
-            "kernel": jax.random.normal(k, (din, dout)) * std,
-            "bias": jnp.zeros((dout,)),
-        }
+    def normal(*shape):
+        return r.normal(0.0, std, shape).astype(np.float32)
+
+    def dense(din, dout):
+        return {"kernel": normal(din, dout), "bias": np.zeros((dout,), np.float32)}
 
     def layernorm(d):
-        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+        return {"scale": np.ones((d,), np.float32), "bias": np.zeros((d,), np.float32)}
 
     params: dict = {"feature_extractor": []}
     in_ch = 1
     for i, (dim, kernel) in enumerate(zip(config.conv_dim, config.conv_kernel)):
-        layer = {
-            "conv": {
-                "kernel": jax.random.normal(next(keys), (kernel, in_ch, dim)) * std,
-            }
-        }
+        layer = {"conv": {"kernel": normal(kernel, in_ch, dim)}}
         if config.conv_bias:
-            layer["conv"]["bias"] = jnp.zeros((dim,))
+            layer["conv"]["bias"] = np.zeros((dim,), np.float32)
         if config.feat_extract_norm == "layer":
             layer["layer_norm"] = layernorm(dim)
         elif i == 0:  # 'group': group norm only on the first conv layer
@@ -129,29 +135,28 @@ def init_hubert_params(rng: jax.Array, config: HubertConfig) -> dict:
     h = config.hidden_size
     params["feature_projection"] = {
         "layer_norm": layernorm(config.conv_dim[-1]),
-        "projection": dense(next(keys), config.conv_dim[-1], h),
+        "projection": dense(config.conv_dim[-1], h),
     }
     params["pos_conv"] = {
-        "kernel": jax.random.normal(
-            next(keys),
-            (config.num_conv_pos_embeddings,
-             h // config.num_conv_pos_embedding_groups, h),
-        ) * std,
-        "bias": jnp.zeros((h,)),
+        "kernel": normal(
+            config.num_conv_pos_embeddings,
+            h // config.num_conv_pos_embedding_groups, h,
+        ),
+        "bias": np.zeros((h,), np.float32),
     }
     params["layers"] = []
     for _ in range(config.num_hidden_layers):
         params["layers"].append({
             "attention": {
-                "q": dense(next(keys), h, h),
-                "k": dense(next(keys), h, h),
-                "v": dense(next(keys), h, h),
-                "out": dense(next(keys), h, h),
+                "q": dense(h, h),
+                "k": dense(h, h),
+                "v": dense(h, h),
+                "out": dense(h, h),
             },
             "layer_norm": layernorm(h),
             "feed_forward": {
-                "intermediate": dense(next(keys), h, config.intermediate_size),
-                "output": dense(next(keys), config.intermediate_size, h),
+                "intermediate": dense(h, config.intermediate_size),
+                "output": dense(config.intermediate_size, h),
             },
             "final_layer_norm": layernorm(h),
         })

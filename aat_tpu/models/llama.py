@@ -76,39 +76,44 @@ def tiny_test_config() -> LlamaConfig:
     )
 
 
-def init_llama_params(rng: jax.Array, config: LlamaConfig, std: float = 0.02) -> dict:
-    keys = iter(jax.random.split(rng, 8 * config.num_hidden_layers + 8))
+def init_llama_params(rng, config: LlamaConfig, std: float = 0.02) -> dict:
+    from aat_tpu.models.hubert import np_rng_from
+    import numpy as np
+
+    r = np_rng_from(rng)
     h, kvh = config.hidden_size, config.num_key_value_heads * config.head_dim
 
-    def dense(k, din, dout, bias):
-        p = {"kernel": jax.random.normal(k, (din, dout)) * std}
+    def dense(din, dout, bias):
+        p = {"kernel": r.normal(0.0, std, (din, dout)).astype(np.float32)}
         if bias:
-            p["bias"] = jnp.zeros((dout,))
+            p["bias"] = np.zeros((dout,), np.float32)
         return p
 
     params = {
-        "embed_tokens": {"embedding": jax.random.normal(next(keys), (config.vocab_size, h)) * std},
+        "embed_tokens": {
+            "embedding": r.normal(0.0, std, (config.vocab_size, h)).astype(np.float32)
+        },
         "layers": [],
-        "final_norm": {"scale": jnp.ones((h,))},
+        "final_norm": {"scale": np.ones((h,), np.float32)},
     }
     for _ in range(config.num_hidden_layers):
         params["layers"].append({
-            "input_norm": {"scale": jnp.ones((h,))},
+            "input_norm": {"scale": np.ones((h,), np.float32)},
             "attention": {
-                "q": dense(next(keys), h, h, config.attention_bias),
-                "k": dense(next(keys), h, kvh, config.attention_bias),
-                "v": dense(next(keys), h, kvh, config.attention_bias),
-                "out": dense(next(keys), h, h, False),
+                "q": dense(h, h, config.attention_bias),
+                "k": dense(h, kvh, config.attention_bias),
+                "v": dense(h, kvh, config.attention_bias),
+                "out": dense(h, h, False),
             },
-            "post_attention_norm": {"scale": jnp.ones((h,))},
+            "post_attention_norm": {"scale": np.ones((h,), np.float32)},
             "mlp": {
-                "gate": dense(next(keys), h, config.intermediate_size, False),
-                "up": dense(next(keys), h, config.intermediate_size, False),
-                "down": dense(next(keys), config.intermediate_size, h, False),
+                "gate": dense(h, config.intermediate_size, False),
+                "up": dense(h, config.intermediate_size, False),
+                "down": dense(config.intermediate_size, h, False),
             },
         })
     if not config.tie_word_embeddings:
-        params["lm_head"] = dense(next(keys), h, config.vocab_size, False)
+        params["lm_head"] = dense(h, config.vocab_size, False)
     return params
 
 

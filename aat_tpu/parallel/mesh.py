@@ -1,0 +1,108 @@
+"""Device mesh construction and sharding rules.
+
+The reference delegates all distribution to HF accelerate (DDP/DeepSpeed/FSDP
+pass-through, SURVEY §2 parallelism table; src/aat/training/trainer.py:286-304).
+Here distribution is first-class and TPU-native: a ``jax.sharding.Mesh`` with
+``(dp, fsdp, tp)`` axes, ``NamedSharding`` annotations on params and batches,
+and XLA-inserted collectives riding ICI.
+
+Sharding policy:
+- batch axis        → ('dp', 'fsdp')  (data parallel over both axes)
+- large param axes  → 'fsdp' (ZeRO-3 style; XLA all-gathers at use,
+                      reduce-scatters grads)
+- attention heads / mlp hidden → 'tp' (tensor parallel on matmul columns,
+                      rows on the output projections)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, fsdp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh; total must match available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = dp * fsdp * tp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(dp, fsdp, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(1, 1, 1)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data-parallel sharding for batches."""
+    return NamedSharding(mesh, P(("dp", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules
+# ---------------------------------------------------------------------------
+
+
+def _spec_for(path: str, shape, mesh: Mesh) -> P:
+    """TP/FSDP spec by parameter role, FSDP fallback on the largest axis."""
+    tp = mesh.shape.get("tp", 1)
+    fsdp = mesh.shape.get("fsdp", 1)
+    ndim = len(shape)
+
+    spec = [None] * ndim
+
+    if tp > 1 and ndim >= 2:
+        # Column-parallel: qkv/gate/up/intermediate kernels [in, out] → shard out.
+        if any(k in path for k in ("/q/", "/k/", "/v/", "/gate/", "/up/", "/intermediate/", "/in_proj/", "/l_in/", "/in/")):
+            if shape[-1] % tp == 0:
+                spec[-1] = "tp"
+        # Row-parallel: out/down/output kernels → shard in (XLA adds psum).
+        elif any(k in path for k in ("/out/", "/down/", "/output/", "/out_proj/", "/l_out/")):
+            if ndim >= 2 and shape[-2] % tp == 0:
+                spec[-2] = "tp"
+        # Embeddings: shard vocab.
+        elif "embedding" in path and shape[0] % tp == 0:
+            spec[0] = "tp"
+
+    if fsdp > 1 and ndim >= 2:
+        # ZeRO-3: shard the largest still-unsharded axis divisible by fsdp.
+        # 1-D params (biases, norm scales) stay replicated — sharding them
+        # buys nothing and forces tiny all-gathers.
+        order = sorted(range(ndim), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % fsdp == 0 and shape[i] >= fsdp:
+                spec[i] = "fsdp"
+                break
+
+    return P(*spec)
+
+
+def shard_params(params, mesh: Mesh):
+    """NamedSharding tree for a parameter pytree (dicts/lists of arrays)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}/{k}/") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = [walk(v, f"{path}/{i}/") for i, v in enumerate(node)]
+            return type(node)(t) if not isinstance(node, tuple) else tuple(t)
+        shape = np.shape(node)
+        if len(shape) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _spec_for(path, shape, mesh))
+
+    return walk(params, "/")
+
+
+def place_params(params, mesh: Mesh):
+    """Device-put a param tree according to :func:`shard_params`."""
+    shardings = shard_params(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

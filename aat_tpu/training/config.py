@@ -1,0 +1,114 @@
+"""Typed training configuration.
+
+Unifies the reference's dual config system — pydantic ``TrainConfig``
+(src/aat/training/config.py:36-62) and the HF ``TrainingArguments``
+extension (src/aat/training/trainer.py:41-83) — into one dataclass tree
+with the same knobs and defaults, plus preset factories mirroring
+``overfit_one_batch_train_config`` / ``projection_training`` /
+``finetuning_lm`` (config.py:65-138).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    # run
+    output_dir: str = "data/models/aslm_experiments"
+    seed: int = 42
+
+    # batch / schedule (reference trainer.py:50-69)
+    per_device_train_batch_size: int = 40
+    gradient_accumulation_steps: int = 2
+    num_train_epochs: int = 3
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.1
+    warmup_steps: int = 100
+    max_steps: Optional[int] = None
+    start_lr_from: float = 1e-5  # reference lr_scheduler.py:12
+    eval_steps: int = 1000
+    save_steps: int = 1000
+    save_total_limit: int = 2
+    logging_steps: int = 25
+    optimizer: str = "adamw"  # adamw | adafactor
+
+    # model / freezing (reference trainer.py:71-83)
+    segmentation: str = "none"  # none | uniform | adaptive
+    train_audio_encoder: bool = True
+    train_lm_decoder: bool = False
+    audio_encoder_type: str = "hubert"  # hubert | wav2vec2 | efficient_net
+    audio_encoder_checkpoint: str = "facebook/hubert-large-ls960-ft"
+    lm_pretrained_model: str = "HuggingFaceTB/SmolLM-135M-Instruct"
+    projection_type: str = "linear"
+    audio_encoder_embeddings_seq_len: int = 1
+    max_segment_frames: int = 4000
+    n_words: Optional[int] = None
+    model_projection_from_pretrained: Optional[str] = None
+
+    # data (reference config.py:46-57)
+    sampling_rate: int = 16000
+    few_train_samples: Optional[int] = None
+    few_val_samples: int = 100
+    add_prefix: bool = True
+    noise_augmentation: bool = False
+    train_dataset_path: Optional[str] = None
+    validation_dataset_path: Optional[str] = None
+
+    # numerics / parallelism (TPU-native additions)
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    mesh_dp: int = 1
+    mesh_fsdp: int = 1
+    mesh_tp: int = 1
+    grad_clip_norm: Optional[float] = None
+
+    def __post_init__(self):
+        if (
+            self.train_dataset_path is not None
+            and self.train_dataset_path == self.validation_dataset_path
+        ):
+            # reference validate_different_datasets (config.py:59-62)
+            raise ValueError("Datasets must not be the same for validation and train")
+
+
+def overfit_one_batch_config() -> TrainingConfig:
+    """Parity with overfit_one_batch_train_config (config.py:65-87)."""
+    return TrainingConfig(
+        few_train_samples=100,
+        few_val_samples=8,
+        n_words=50,
+        per_device_train_batch_size=10,
+        gradient_accumulation_steps=1,
+        num_train_epochs=10,
+        projection_type="linear",
+    )
+
+
+def projection_training_config() -> TrainingConfig:
+    """Parity with projection_training (config.py:90-113)."""
+    return TrainingConfig(
+        few_train_samples=None,
+        few_val_samples=100,
+        n_words=50,
+        projection_type="linear",
+        train_audio_encoder=True,
+        train_lm_decoder=False,
+    )
+
+
+def finetuning_lm_config() -> TrainingConfig:
+    """Parity with finetuning_lm + the -f CLI overrides
+    (config.py:115-138, trainer_train.py:289-294)."""
+    return TrainingConfig(
+        few_train_samples=None,
+        few_val_samples=1000,
+        n_words=50,
+        num_train_epochs=1,
+        per_device_train_batch_size=20,
+        gradient_accumulation_steps=5,
+        eval_steps=300,
+        train_lm_decoder=True,
+    )

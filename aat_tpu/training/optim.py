@@ -1,0 +1,122 @@
+"""Optimizers.
+
+Parity targets:
+- AdamW with two weight-decay groups — wd=0.1 on every parameter that is not
+  a bias and not a LayerNorm weight, wd=0.0 elsewhere (reference
+  ``AATTrainer.create_optimizer``, src/aat/training/trainer.py:91-116).
+- Adafactor — the reference vendors the fairseq implementation
+  (src/aat/training/optimizers.py:6-208); optax.adafactor is the same
+  algorithm (factored second moments, relative step sizes, RMS-scaled
+  updates, update clipping).
+- Freeze masks for the audio encoder / LM decoder
+  (scripts/trainer_train.py:258-262): frozen subtrees receive zero updates
+  and allocate no optimizer state.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def decay_mask(params) -> dict:
+    """True where weight decay applies: ndim >= 2 kernels/embeddings, except
+    LayerNorm/RMSNorm scales and biases (reference decay_parameters rule:
+    non-bias, non-LayerNorm)."""
+
+    def is_decay(path, leaf):
+        name = _path_str(path).lower()
+        if "bias" in name:
+            return False
+        if "norm" in name or "scale" in name:
+            return False
+        return jnp.ndim(leaf) >= 2
+
+    return jax.tree_util.tree_map_with_path(is_decay, params)
+
+
+def trainable_mask(
+    params,
+    train_audio_encoder: bool = True,
+    train_lm_decoder: bool = False,
+    frozen_prefixes: Sequence[str] = (),
+) -> dict:
+    """Freeze mask over the ASLM param tree layout
+    {audio_encoder, adapter, lm_decoder}."""
+
+    def is_trainable(path, _leaf):
+        name = _path_str(path)
+        if name.startswith("audio_encoder") and not train_audio_encoder:
+            return False
+        if name.startswith("lm_decoder") and not train_lm_decoder:
+            return False
+        return not any(name.startswith(p) for p in frozen_prefixes)
+
+    return jax.tree_util.tree_map_with_path(is_trainable, params)
+
+
+def adamw_grouped(
+    learning_rate,
+    params,
+    weight_decay: float = 0.1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    grad_clip_norm: Optional[float] = None,
+    freeze: Optional[dict] = None,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's two-group weight decay and optional
+    freeze mask / global-norm clipping."""
+    mask = decay_mask(params)
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
+    chain.append(optax.scale_by_learning_rate(learning_rate))
+    tx = optax.chain(*chain)
+    if freeze is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", freeze),
+        )
+    return tx
+
+
+def adafactor(
+    learning_rate=None,
+    weight_decay: float = 0.0,
+    freeze: Optional[dict] = None,
+) -> optax.GradientTransformation:
+    """Fairseq-style Adafactor (relative step when learning_rate is None)."""
+    tx = optax.adafactor(
+        learning_rate=learning_rate,
+        multiply_by_parameter_scale=True,
+        clipping_threshold=1.0,
+        weight_decay_rate=weight_decay if weight_decay else None,
+    )
+    if freeze is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", freeze),
+        )
+    return tx
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)

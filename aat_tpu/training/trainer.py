@@ -1,0 +1,383 @@
+"""ASLM trainer: pjit train/eval steps over a device mesh.
+
+Capability parity with ``AATTrainer`` / ``AATTrainerSegmentation``
+(/root/reference/src/aat/training/trainer.py:86-730), re-designed TPU-first:
+
+- one jitted, buffer-donated ``grad_step`` computes audio encoding →
+  projection → input assembly → caption cross-entropy in a single XLA
+  program (the reference splits this across ``_prepare_inputs`` /
+  ``compute_loss`` with host sync between);
+- gradient accumulation by pytree accumulation across microbatches
+  (reference: HF Trainer accumulation, trainer.py:51);
+- caption-only shifted CE with pad masking (reference compute_loss
+  :175-207);
+- per-step debug metrics — sequence length, audio/text embedding norms and
+  means, audio BOS/EOS stats (reference :209-238) — and encoder /
+  audio-token-embedding grad norms (reference training_step :242-265),
+  all computed inside the jitted step (no host round-trips);
+- freeze masks for encoder/decoder (reference trainer_train.py:258-262);
+- orbax checkpointing with partial-restore semantics mirroring
+  ``_keys_to_ignore_on_load_missing = ["audio_encoder", "lm_decoder"]``
+  (reference modeling_aslm.py:100);
+- data-parallel (dp×fsdp×tp) sharding via aat_tpu.parallel.mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import shutil
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aat_tpu.models.aslm import AslmModel
+from aat_tpu.parallel import mesh as mesh_lib
+from aat_tpu.training import optim as optim_lib
+from aat_tpu.training.config import TrainingConfig
+from aat_tpu.training.lr_schedule import warmup_linear_schedule
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: int
+    params: Any
+    opt_state: Any
+
+
+def caption_cross_entropy(
+    logits: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    input_ids_attention_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Shifted caption CE over the trailing caption positions, pad-masked
+    (reference compute_loss, trainer.py:187-207)."""
+    caption_len = input_ids.shape[1]
+    pred = logits[:, -caption_len:-1, :]  # [B, C-1, V]
+    targets = input_ids[:, 1:]
+    mask = input_ids_attention_mask[:, 1:].astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        pred.astype(jnp.float32), targets
+    )
+    return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class AATTrainer:
+    """Audio-adaptive-tokenizer trainer (un-segmented + segmented paths)."""
+
+    def __init__(
+        self,
+        model: AslmModel,
+        params: Any,
+        config: TrainingConfig,
+        mesh=None,
+        compute_metrics: Optional[Callable] = None,
+        log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            config.mesh_dp, config.mesh_fsdp, config.mesh_tp
+        )
+        self.compute_metrics = compute_metrics
+        self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))
+
+        self.schedule = warmup_linear_schedule(
+            config.learning_rate,
+            config.warmup_steps,
+            config.max_steps or 100000,
+            config.start_lr_from,
+        )
+        self.freeze = optim_lib.trainable_mask(
+            params,
+            train_audio_encoder=config.train_audio_encoder,
+            train_lm_decoder=config.train_lm_decoder,
+        )
+        if config.optimizer == "adamw":
+            self.tx = optim_lib.adamw_grouped(
+                self.schedule, params,
+                weight_decay=config.weight_decay,
+                grad_clip_norm=config.grad_clip_norm,
+                freeze=self.freeze,
+            )
+        elif config.optimizer == "adafactor":
+            self.tx = optim_lib.adafactor(self.schedule, freeze=self.freeze)
+        else:
+            raise ValueError(f"unknown optimizer {config.optimizer}")
+
+        params = mesh_lib.place_params(params, self.mesh)
+        self.state = TrainState(0, params, self.tx.init(params))
+
+        self._grad_step = jax.jit(self._make_grad_step())
+        self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._make_eval_step())
+
+    # ------------------------------------------------------------------
+    # Forward assembly (segmented + whole-utterance), shared by train/eval
+    # ------------------------------------------------------------------
+
+    def _assemble_and_forward(self, params, batch):
+        model = self.model
+        compute_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+
+        if "batched_segments" in batch:
+            # segmented path (reference AATTrainerSegmentation :663-730):
+            # flatten [B, S, F] → [B*S, F]
+            seg = batch["batched_segments"]
+            b, s, f = seg.shape
+            waveforms = seg.reshape(b * s, f)
+            wf_mask = batch["segments_waveforms_mask"].reshape(b * s, f)
+            seg_mask = batch["segments_boarders_attention_mask"].reshape(b * s)
+            segments_count = s
+        else:
+            # whole-utterance path (reference AATTrainer :127-173)
+            waveforms = batch["waveforms"]
+            wf_mask = batch["waveforms_attention_mask"]
+            seg_mask = None
+            segments_count = None
+
+        audio_embeds, frame_mask = model.encode_audio(
+            params, waveforms.astype(compute_dtype), wf_mask, seg_mask
+        )
+        inputs = model.prepare_audio_inputs(
+            params,
+            audio_embeds=audio_embeds,
+            frame_mask=frame_mask,
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            segments_count=segments_count,
+        )
+        logits = model.forward(params, inputs["inputs_embeds"], inputs["attention_mask"])
+        return logits, inputs
+
+    def _debug_metrics(self, params, batch, inputs):
+        """Reference compute_loss debug block (:209-238), in-graph."""
+        embeds = inputs["inputs_embeds"]
+        am = inputs["audio_embeds_attention_mask"]
+        audio_len = am.shape[-1]
+        flat_audio = inputs["audio_embeds"].reshape(-1, embeds.shape[-1])
+        audio_m = am.reshape(-1).astype(jnp.float32)
+        audio_norms = jnp.linalg.norm(flat_audio.astype(jnp.float32), axis=-1)
+        denom_a = jnp.maximum(audio_m.sum(), 1.0)
+
+        text_embeds = embeds[:, audio_len + 2 :, :].astype(jnp.float32)
+        text_m = batch["attention_mask"].astype(jnp.float32)
+        text_norms = jnp.linalg.norm(text_embeds, axis=-1)
+        denom_t = jnp.maximum(text_m.sum(), 1.0)
+
+        emb = params["adapter"]["audio_tokens_embeddings"]["embedding"].astype(jnp.float32)
+        return {
+            "debug/seq_len": jnp.asarray(inputs["attention_mask"].shape[-1], jnp.float32),
+            "debug/audio_embeddings_norm_mean": jnp.sum(audio_norms * audio_m) / denom_a,
+            "debug/audio_embeddings_mean": jnp.sum(
+                jnp.mean(flat_audio.astype(jnp.float32), axis=-1) * audio_m
+            ) / denom_a,
+            "debug/text_embeddings_norm_mean": jnp.sum(text_norms * text_m) / denom_t,
+            "debug/text_embeddings_mean": jnp.sum(
+                jnp.mean(text_embeds, axis=-1) * text_m
+            ) / denom_t,
+            "debug/audio_bos_mean": emb[0].mean(),
+            "debug/audio_bos_norm": jnp.linalg.norm(emb[0]),
+            "debug/audio_eos_mean": emb[1].mean(),
+            "debug/audio_eos_norm": jnp.linalg.norm(emb[1]),
+        }
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    def _make_grad_step(self):
+        def grad_step(params, batch):
+            def loss_fn(p):
+                logits, inputs = self._assemble_and_forward(p, batch)
+                loss = caption_cross_entropy(
+                    logits, batch["input_ids"], batch["input_ids_attention_mask"]
+                )
+                return loss, inputs
+
+            (loss, inputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            metrics = self._debug_metrics(params, batch, inputs)
+            metrics["train/loss"] = loss
+            # reference training_step grad norms (:242-265)
+            metrics["train/audio_tokens_emb_grad"] = optim_lib.global_norm(
+                grads["adapter"]["audio_tokens_embeddings"]
+            )
+            if self.config.train_audio_encoder:
+                metrics["train/audio_encdoer_grad_norm"] = optim_lib.global_norm(
+                    grads["audio_encoder"]["feature_projection"]["projection"]
+                )
+            return loss, grads, metrics
+
+        return grad_step
+
+    def _make_apply_step(self):
+        def apply_step(params, opt_state, grads):
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt_state
+
+        return apply_step
+
+    def _make_eval_step(self):
+        def eval_step(params, batch):
+            logits, inputs = self._assemble_and_forward(params, batch)
+            loss = caption_cross_entropy(
+                logits, batch["input_ids"], batch["input_ids_attention_mask"]
+            )
+            return loss, logits
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # Loops
+    # ------------------------------------------------------------------
+
+    def _shard_batch(self, batch):
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        out = {}
+        for k, v in batch.items():
+            arr = np.asarray(v)
+            out[k] = jax.device_put(arr, sharding) if arr.ndim > 0 else arr
+        return out
+
+    def training_step(self, microbatches: List[dict]) -> Dict[str, float]:
+        """One optimizer step over ``gradient_accumulation_steps``
+        microbatches. Returns host metrics."""
+        acc_grads = None
+        acc_metrics = None
+        for mb in microbatches:
+            mb = self._shard_batch(mb)
+            loss, grads, metrics = self._grad_step(self.state.params, mb)
+            if acc_grads is None:
+                acc_grads, acc_metrics = grads, metrics
+            else:
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+        n = len(microbatches)
+        if n > 1:
+            acc_grads = jax.tree.map(lambda g: g / n, acc_grads)
+            acc_metrics = jax.tree.map(lambda m: m / n, acc_metrics)
+        new_params, new_opt = self._apply_step(
+            self.state.params, self.state.opt_state, acc_grads
+        )
+        self.state = TrainState(self.state.step + 1, new_params, new_opt)
+        return {k: float(v) for k, v in acc_metrics.items()}
+
+    def train(
+        self,
+        train_batches: Iterable[dict],
+        eval_batches: Optional[Callable[[], Iterable[dict]]] = None,
+        resume_from_checkpoint: Optional[str] = None,
+    ):
+        cfg = self.config
+        if resume_from_checkpoint:
+            self.restore_checkpoint(resume_from_checkpoint)
+
+        micro: List[dict] = []
+        t_start = time.time()
+        for batch in train_batches:
+            micro.append(batch)
+            if len(micro) < cfg.gradient_accumulation_steps:
+                continue
+            metrics = self.training_step(micro)
+            micro = []
+            step = self.state.step
+            if step % cfg.logging_steps == 0:
+                metrics["train/step_time"] = (time.time() - t_start) / cfg.logging_steps
+                metrics["train/lr"] = float(self.schedule(step))
+                self.log_fn(metrics)
+                t_start = time.time()
+            if cfg.eval_steps and step % cfg.eval_steps == 0 and eval_batches is not None:
+                self.log_fn(self.evaluate(eval_batches()))
+            if cfg.save_steps and step % cfg.save_steps == 0:
+                self.save_checkpoint()
+            if cfg.max_steps is not None and step >= cfg.max_steps:
+                break
+        return self.state
+
+    def evaluate(self, eval_batches: Iterable[dict]) -> Dict[str, float]:
+        losses = []
+        extra: Dict[str, List] = {"generated": [], "references": [], "prefixes": []}
+        for batch in eval_batches:
+            sb = self._shard_batch(batch)
+            loss, logits = self._eval_step(self.state.params, sb)
+            losses.append(float(loss))
+            if self.compute_metrics is not None:
+                extra["references"].append(np.asarray(batch["input_ids"]))
+                extra["prefixes"].append(np.asarray(batch.get("prefix_input_ids")))
+        metrics = {"eval/loss": float(np.mean(losses)) if losses else float("nan")}
+        if self.compute_metrics is not None and extra["references"]:
+            metrics.update(self.compute_metrics(self, extra))
+        return metrics
+
+    # ------------------------------------------------------------------
+    # Checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def _ckpt_dir(self, step: Optional[int] = None) -> str:
+        step = self.state.step if step is None else step
+        return os.path.join(self.config.output_dir, f"checkpoint-{step}")
+
+    def save_checkpoint(self, path: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        path = path or self._ckpt_dir()
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.join(path, "state"),
+            {"params": self.state.params, "step": self.state.step},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        self._prune_checkpoints()
+        logger.info("saved checkpoint %s", path)
+
+    def _prune_checkpoints(self):
+        """save_total_limit parity (reference trainer.py:61)."""
+        limit = self.config.save_total_limit
+        base = self.config.output_dir
+        if not limit or not os.path.isdir(base):
+            return
+        ckpts = sorted(
+            (d for d in os.listdir(base) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[-1]),
+        )
+        for stale in ckpts[:-limit]:
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+
+    def restore_checkpoint(self, path: str, partial: bool = True):
+        """Restore params (+step). ``partial=True`` mirrors
+        ``_keys_to_ignore_on_load_missing``: a checkpoint holding only the
+        adapter restores against freshly built encoder/decoder trees."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        template = {"params": self.state.params, "step": self.state.step}
+        try:
+            restored = ckptr.restore(os.path.join(path, "state"), target=template)
+        except Exception:
+            if not partial:
+                raise
+            # partial restore: adapter-only checkpoints
+            template = {"params": {"adapter": self.state.params["adapter"]}, "step": 0}
+            restored = ckptr.restore(os.path.join(path, "state"), target=template)
+            merged = dict(self.state.params)
+            merged["adapter"] = restored["params"]["adapter"]
+            restored = {"params": merged, "step": restored["step"]}
+        params = mesh_lib.place_params(restored["params"], self.mesh)
+        self.state = TrainState(int(restored["step"]), params, self.tx.init(params))
+        logger.info("restored checkpoint %s at step %d", path, self.state.step)
+
+
+class AATTrainerSegmentation(AATTrainer):
+    """Name parity with the reference's segmented trainer
+    (trainer.py:663-730); the segmented path is dispatched on batch keys in
+    :meth:`AATTrainer._assemble_and_forward`."""

@@ -98,6 +98,36 @@ def port_hubert(torch_model) -> Tuple[dict, "HubertConfig"]:
     return params, config
 
 
+def port_pooling_encoder(torch_module) -> dict:
+    """Port a torch module shaped like the reference's
+    ``AudioEmbeddingsEncoderPooling`` (modeling_aslm.py:12-60): ``l_in``,
+    ``positional_embeddings``, ``transformer_encoder`` (nn.TransformerEncoder,
+    pre-LN), ``l_out``."""
+    params = {
+        "l_in": _dense(torch_module.l_in),
+        "positional_embeddings": {
+            "embedding": _t(torch_module.positional_embeddings.weight)
+        },
+        "l_out": _dense(torch_module.l_out),
+        "layers": [],
+    }
+    for layer in torch_module.transformer_encoder.layers:
+        params["layers"].append({
+            "attention": {
+                "in_proj": {
+                    "kernel": _t(layer.self_attn.in_proj_weight).T,
+                    "bias": _t(layer.self_attn.in_proj_bias),
+                },
+                "out_proj": _dense(layer.self_attn.out_proj),
+            },
+            "norm1": _layernorm(layer.norm1),
+            "norm2": _layernorm(layer.norm2),
+            "linear1": _dense(layer.linear1),
+            "linear2": _dense(layer.linear2),
+        })
+    return params
+
+
 def llama_config_from_torch(torch_config) -> "LlamaConfig":
     from aat_tpu.models.llama import LlamaConfig
 

