@@ -245,21 +245,26 @@ class TokenizedAudioWaveformCollator:
         hop = self.audio_tokenizer.hop_length
 
         if self.audio_encoder_type != "efficient_net":
-            normed, _ = zero_mean_unit_var_pad(waveforms)
-            # vectorized dense segment batching (reference hot loop :321-346)
+            from aat_tpu.runtime import host_ops
+
+            # per-row zero-mean/unit-var + dense segment batching in the
+            # native C++ runtime (the reference's profiled hot loop,
+            # collate.py:321-346); numpy fallbacks inside host_ops.
+            normed, _ = host_ops.normalize_pad(waveforms)
             starts = np.concatenate(
                 [np.zeros((bs, 1), np.int64), boarders[:, :-1]], axis=1
             )
             seg_valid = boarders_mask.astype(bool) & (boarders > starts)
-            f = np.arange(max_frames)
-            idx = starts[..., None] + f  # [bs, S, F]
-            in_seg = (f < (boarders - starts)[..., None]) & seg_valid[..., None]
-            idx = np.clip(idx, 0, normed.shape[-1] - 1)
-            gathered = np.take_along_axis(
-                normed[:, None, :], idx.reshape(bs, 1, -1), axis=-1
-            ).reshape(bs, max_n_bounds, max_frames)
-            result["batched_segments"] = np.where(in_seg, gathered, 0.0).astype(np.float32)
-            result["segments_waveforms_mask"] = in_seg.astype(np.float32)
+            seg_lens = np.where(seg_valid, boarders - starts, 0)
+            batched = np.empty((bs, max_n_bounds, max_frames), np.float32)
+            masks = np.empty((bs, max_n_bounds, max_frames), np.float32)
+            for i in range(bs):
+                batched[i], masks[i] = host_ops.assemble_segments(
+                    normed[i], starts[i], starts[i] + seg_lens[i], seg_lens[i],
+                    max_frames,
+                )
+            result["batched_segments"] = batched
+            result["segments_waveforms_mask"] = masks
             result["batched_segments_melspectrograms"] = None
         else:
             max_mel = int(1 + np.floor(max_frames / hop))

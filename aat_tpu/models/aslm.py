@@ -121,9 +121,11 @@ def init_aslm_params(rng, config: AslmConfig, std: float = 0.02) -> dict:
 
 
 def _layer_norm(x, p, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    return (out + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _dense(x, p):

@@ -170,9 +170,11 @@ def init_hubert_params(rng, config: HubertConfig) -> dict:
 
 
 def _layer_norm(x, p, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    return (out + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _dense(x, p):
@@ -181,17 +183,22 @@ def _dense(x, p):
 
 
 def _conv1d(x, kernel, bias=None, stride=1, padding="VALID", groups=1):
-    """NHC conv: x [B, L, C_in], kernel [K, C_in/groups, C_out]."""
+    """NHC conv: x [B, L, C_in], kernel [K, C_in/groups, C_out].
+
+    No preferred_element_type: the conv transpose rule requires matching
+    dtypes (an f32-upcast output would feed an f32 cotangent against bf16
+    operands in backward), and TPU bf16 convs already accumulate in f32 on
+    the MXU.
+    """
     out = jax.lax.conv_general_dilated(
-        x, kernel,
+        x, jnp.asarray(kernel, x.dtype),
         window_strides=(stride,),
         padding=padding,
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if bias is not None:
-        out = out + bias
+        out = out + jnp.asarray(bias, x.dtype)
     return out
 
 

@@ -79,12 +79,13 @@ def smoothed_amplitude_exact(melspec: np.ndarray, running_mean_points: int = 12)
 
     The cumsum runs in float32 sequentially (numpy semantics); its rounding is
     observable through the 1e-5 comparator, so this exact float path *is* the
-    spec.
+    spec. Routed through the native C++ kernel when built (bitwise-identical,
+    tests/test_runtime.py).
     """
     amplitude = np.float32(-10) * melspec.mean(axis=0)  # float32 [T]
-    cumsum = np.cumsum(amplitude)
-    n = running_mean_points
-    return (cumsum[n:] - cumsum[:-n]) / float(n)
+    from aat_tpu.runtime import host_ops
+
+    return host_ops.smoothed_amplitude(amplitude, running_mean_points)
 
 
 def find_amplitude_minima_exact(
@@ -92,13 +93,14 @@ def find_amplitude_minima_exact(
 ) -> np.ndarray:
     """Indices of epsilon-strict local maxima of the smoothed curve with
     value > max_amplitude_for_minima. Matches
-    ``scipy.signal.argrelextrema(x, greater_eps)`` + threshold filtering."""
+    ``scipy.signal.argrelextrema(x, greater_eps)`` + threshold filtering.
+    Native C++ path when built."""
     x = smoothed_amplitude_exact(melspec, config.running_mean_points)
     if x.size < 3:
         return np.zeros((0,), dtype=np.int64)
-    interior = (x[1:-1] > x[2:] + np.float32(EPS)) & (x[1:-1] > x[:-2] + np.float32(EPS))
-    idx = np.nonzero(interior)[0] + 1
-    return idx[x[idx] > config.max_amplitude_for_minima]
+    from aat_tpu.runtime import host_ops
+
+    return host_ops.find_minima(x, EPS, config.max_amplitude_for_minima)
 
 
 def pretokenize_exact(

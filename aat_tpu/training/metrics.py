@@ -61,12 +61,34 @@ def _edit_distance(a: Sequence[str], b: Sequence[str]) -> int:
 
 
 def wer(predictions: List[str], references: List[str]) -> float:
-    """Corpus WER: sum of word edit distances / total reference words."""
+    """Corpus WER: sum of word edit distances / total reference words.
+
+    Uses the native C++ edit-distance kernel (aat_tpu.runtime) when built."""
+    try:
+        from aat_tpu.runtime import load_library
+        from aat_tpu.runtime.host_ops import edit_distance as native_distance
+
+        native = load_library() is not None
+    except Exception:  # noqa: BLE001
+        native = False
+
     total_dist = 0
     total_words = 0
+    vocab: dict = {}
+
+    def ids(words):
+        import numpy as np
+
+        return np.array(
+            [vocab.setdefault(w, len(vocab)) for w in words], dtype="int64"
+        )
+
     for pred, ref in zip(predictions, references):
-        ref_words = ref.split()
-        total_dist += _edit_distance(pred.split(), ref_words)
+        pred_words, ref_words = pred.split(), ref.split()
+        if native:
+            total_dist += native_distance(ids(pred_words), ids(ref_words))
+        else:
+            total_dist += _edit_distance(pred_words, ref_words)
         total_words += len(ref_words)
     return total_dist / max(total_words, 1)
 

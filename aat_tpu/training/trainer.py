@@ -80,9 +80,13 @@ class AATTrainer:
         mesh=None,
         compute_metrics: Optional[Callable] = None,
         log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+        tokenizer=None,
+        generation_config=None,
     ):
         self.model = model
         self.config = config
+        self.tokenizer = tokenizer
+        self.generation_config = generation_config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             config.mesh_dp, config.mesh_fsdp, config.mesh_tp
         )
@@ -123,9 +127,20 @@ class AATTrainer:
     # Forward assembly (segmented + whole-utterance), shared by train/eval
     # ------------------------------------------------------------------
 
+    def _cast_for_compute(self, params):
+        """Mixed precision: master params stay f32; forward/backward run with
+        bf16 params+activations (grads flow back through the cast)."""
+        if self.config.compute_dtype != "bfloat16":
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+
     def _assemble_and_forward(self, params, batch):
         model = self.model
         compute_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        params = self._cast_for_compute(params)
 
         if "batched_segments" in batch:
             # segmented path (reference AATTrainerSegmentation :663-730):
@@ -242,6 +257,8 @@ class AATTrainer:
         sharding = mesh_lib.batch_sharding(self.mesh)
         out = {}
         for k, v in batch.items():
+            if v is None or k == "segments_count":
+                continue
             arr = np.asarray(v)
             out[k] = jax.device_put(arr, sharding) if arr.ndim > 0 else arr
         return out
@@ -301,19 +318,94 @@ class AATTrainer:
                 break
         return self.state
 
-    def evaluate(self, eval_batches: Iterable[dict]) -> Dict[str, float]:
+    def _prefix_inputs(self, params, batch):
+        """Assemble [audio | prefix-text] embeds for generation (reference
+        update_eval_set_kwargs_containers, trainer.py:556-566)."""
+        model = self.model
+        if "batched_segments" in batch:
+            seg = batch["batched_segments"]
+            b, s, f = seg.shape
+            audio_embeds, frame_mask = model.encode_audio(
+                params, seg.reshape(b * s, f),
+                batch["segments_waveforms_mask"].reshape(b * s, f),
+                batch["segments_boarders_attention_mask"].reshape(b * s),
+            )
+            segments_count = s
+        else:
+            audio_embeds, frame_mask = model.encode_audio(
+                params, batch["waveforms"], batch["waveforms_attention_mask"]
+            )
+            segments_count = None
+        return model.prepare_audio_inputs(
+            params,
+            audio_embeds=audio_embeds,
+            frame_mask=frame_mask,
+            input_ids=batch["prefix_input_ids"],
+            attention_mask=batch["prefix_attention_mask"],
+            segments_count=segments_count,
+        )
+
+    def generate_for_batch(self, batch, max_new_tokens: Optional[int] = None):
+        """Beam-3 generation with the reference's eval settings
+        (trainer.py:568-597): repetition penalty 2.5, no-repeat-4-gram,
+        max_new_tokens bounded by the caption length."""
+        from aat_tpu.training.generate import GenerationConfig, generate
+
+        sb = self._shard_batch(batch)
+        inputs = self._prefix_inputs(self.state.params, sb)
+        if max_new_tokens is None:
+            # bucket caption length to multiples of 16 to bound recompiles
+            max_new_tokens = int(-(-batch["input_ids"].shape[1] // 16) * 16)
+        base = self.generation_config
+        gcfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            num_beams=base.num_beams if base else 3,
+            repetition_penalty=base.repetition_penalty if base else 2.5,
+            no_repeat_ngram_size=base.no_repeat_ngram_size if base else 4,
+            eos_token_id=(
+                self.tokenizer.eos_token_id if self.tokenizer is not None else 2
+            ),
+            pad_token_id=(
+                getattr(self.tokenizer, "pad_token_id", 0) or 0
+                if self.tokenizer is not None else 0
+            ),
+        )
+        return np.asarray(generate(
+            self.state.params["lm_decoder"], self.model.lm_config,
+            inputs["inputs_embeds"], inputs["attention_mask"], gcfg,
+        ))
+
+    def evaluate(
+        self, eval_batches: Iterable[dict], with_generation: Optional[bool] = None
+    ) -> Dict[str, float]:
+        if with_generation is None:
+            with_generation = self.compute_metrics is not None
         losses = []
-        extra: Dict[str, List] = {"generated": [], "references": [], "prefixes": []}
+        generated: List[np.ndarray] = []
+        references: List[np.ndarray] = []
+        prefixes: List[np.ndarray] = []
         for batch in eval_batches:
             sb = self._shard_batch(batch)
             loss, logits = self._eval_step(self.state.params, sb)
             losses.append(float(loss))
-            if self.compute_metrics is not None:
-                extra["references"].append(np.asarray(batch["input_ids"]))
-                extra["prefixes"].append(np.asarray(batch.get("prefix_input_ids")))
+            if with_generation:
+                generated.append(self.generate_for_batch(batch))
+                references.append(np.asarray(batch["input_ids"]))
+                prefixes.append(np.asarray(batch["prefix_input_ids"]))
         metrics = {"eval/loss": float(np.mean(losses)) if losses else float("nan")}
-        if self.compute_metrics is not None and extra["references"]:
-            metrics.update(self.compute_metrics(self, extra))
+        if self.compute_metrics is not None and references:
+            def pad_cat(arrays, pad=0):
+                width = max(a.shape[1] for a in arrays)
+                return np.concatenate([
+                    np.pad(a, ((0, 0), (0, width - a.shape[1])), constant_values=pad)
+                    for a in arrays
+                ])
+
+            metrics.update(self.compute_metrics(
+                generated_ids=pad_cat(generated),
+                inputs_ids=pad_cat(references),
+                prefix_ids=pad_cat(prefixes),
+            ))
         return metrics
 
     # ------------------------------------------------------------------

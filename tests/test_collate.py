@@ -33,6 +33,16 @@ class WordTokenizer:
         rev = {v: k for k, v in self.vocab.items()}
         return "".join(rev.get(int(i), "?") for i in ids)
 
+    def batch_decode(self, ids_batch, skip_special_tokens=True):
+        rev = {v: k for k, v in self.vocab.items()}
+        out = []
+        for ids in ids_batch:
+            words = [rev.get(int(i), "") for i in ids]
+            if skip_special_tokens:
+                words = [w for w in words if w not in ("<s>", "</s>", "<pad>", "")]
+            out.append(" ".join(words))
+        return out
+
     def __call__(self, texts, padding=True):
         seqs = []
         for t in texts:

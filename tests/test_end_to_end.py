@@ -1,0 +1,81 @@
+"""End-to-end slice: synthetic items → adaptive collator → segmented
+trainer → eval with beam generation + WER/BLEU metrics. Exercises the whole
+L1→L5 stack on a tiny model (hermetic, CPU)."""
+
+import numpy as np
+
+import jax
+
+from tests.test_collate import WordTokenizer, make_item
+
+from aat_tpu.data.collate import TokenizedAudioWaveformCollator
+from aat_tpu.data.dataloaders import BatchIterator
+from aat_tpu.models import hubert as hub
+from aat_tpu.models import llama as llm
+from aat_tpu.models.aslm import AslmConfig, AslmModel, PoolingConfig
+from aat_tpu.tokenizer import AdaptiveAudioTokenizer
+from aat_tpu.training.config import TrainingConfig
+from aat_tpu.training.generate import GenerationConfig
+from aat_tpu.training.metrics import ComputeMetrics
+from aat_tpu.training.trainer import AATTrainerSegmentation
+from aat_tpu.utils.timing import RecordTimings
+
+
+def test_full_pipeline_train_and_eval(rng, tmp_path):
+    tokenizer = WordTokenizer()
+    audio_tokenizer = AdaptiveAudioTokenizer.create(
+        max_segment_duration_milliseconds=250
+    )
+    collate = TokenizedAudioWaveformCollator(
+        "hubert", "adaptive", audio_tokenizer, tokenizer,
+        n_words=8, add_prefix=True, seed=0,
+    )
+
+    items = [make_item(np.random.default_rng(i), 1.2, n_words=10) for i in range(4)]
+    train_iter = BatchIterator(items, collate, batch_size=2, shuffle=True,
+                               drop_last=True, prefetch=0)
+
+    config = AslmConfig(
+        projection_type="transformer_encoder",
+        audio_encoder_hidden=32, lm_hidden=32,
+        # tiny hubert strides 20x (vs 320x for large): 4000-sample segments
+        # give 201 frames, so the pooling position table must cover T+1
+        # (reference contract: max_positions = encoder seq len + 1,
+        # modeling_aslm.py:110-112)
+        pooling=PoolingConfig(hidden_dim=32, num_heads=4, num_layers=1,
+                              ffn_dim=64, max_positions=256),
+    )
+    model = AslmModel(config, hub.tiny_test_config(), llm.tiny_test_config())
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    tcfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=6,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        train_lm_decoder=True, logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir=str(tmp_path),
+    )
+    trainer = AATTrainerSegmentation(
+        model, params, tcfg,
+        compute_metrics=ComputeMetrics(tokenizer),
+        tokenizer=tokenizer,
+        generation_config=GenerationConfig(num_beams=2, repetition_penalty=2.5,
+                                           no_repeat_ngram_size=4),
+    )
+
+    timings = {}
+    with RecordTimings(timings, "train"):
+        losses = []
+        for batch in train_iter:
+            metrics = trainer.training_step([batch])
+            losses.append(metrics["train/loss"])
+    assert all(np.isfinite(losses))
+    assert timings["train"] > 0
+
+    eval_iter = BatchIterator(items[:2], collate, batch_size=2, shuffle=False,
+                              drop_last=False, is_validation=True, prefetch=0)
+    with RecordTimings(timings, "eval"):
+        eval_metrics = trainer.evaluate(eval_iter)
+    assert np.isfinite(eval_metrics["eval/loss"])
+    assert "wer" in eval_metrics
+    assert 0.0 <= eval_metrics["wer"] <= 5.0  # random model: high WER, defined
+    assert "evaluate_rouge1" in eval_metrics

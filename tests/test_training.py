@@ -133,6 +133,29 @@ def test_overfit_tiny_batch(trainer):
     assert metrics["train/audio_encdoer_grad_norm"] > 0
 
 
+def test_bf16_mixed_precision_step():
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(1))
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=50,
+        gradient_accumulation_steps=1, train_lm_decoder=True,
+        compute_dtype="bfloat16", logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir="/tmp/aat_tpu_bf16_ckpt",
+    )
+    t = AATTrainer(model, params, cfg)
+    rng = np.random.default_rng(1)
+    batch = make_segmented_batch(rng)
+    first = last = None
+    for _ in range(10):
+        m = t.training_step([batch])
+        first = first if first is not None else m["train/loss"]
+        last = m["train/loss"]
+    assert np.isfinite(last)
+    assert last < first  # learns in bf16
+    # master params stay float32
+    assert t.state.params["adapter"]["projection"]["in"]["kernel"].dtype == jnp.float32
+
+
 def test_checkpoint_roundtrip(tmp_path, trainer):
     path = str(tmp_path / "ckpt-1")
     trainer.save_checkpoint(path)
