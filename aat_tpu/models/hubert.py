@@ -46,6 +46,7 @@ class HubertConfig:
     feature_projection_dropout: float = 0.0
     hidden_dropout: float = 0.0
     attention_dropout: float = 0.0
+    attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
 
     @property
     def head_dim(self) -> int:
@@ -253,21 +254,28 @@ def _pos_conv_embedding(params, config: HubertConfig, hidden: jnp.ndarray) -> jn
     return jax.nn.gelu(out, approximate=False)
 
 
-def _attention(params, config: HubertConfig, x: jnp.ndarray, mask_bias: Optional[jnp.ndarray]):
+def _attention(params, config: HubertConfig, x: jnp.ndarray,
+               frame_mask: Optional[jnp.ndarray]):
     b, t, h = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
-    q = _dense(x, params["q"]) * (hd ** -0.5)
+    q = _dense(x, params["q"])
     k = _dense(x, params["k"])
     v = _dense(x, params["v"])
     q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    if mask_bias is not None:
-        scores = scores + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+
+    key_mask = (
+        frame_mask.astype(jnp.int32)
+        if frame_mask is not None
+        else jnp.ones((b, t), jnp.int32)
+    )
+    from aat_tpu.ops.attention import attention as fused_attention
+
+    ctx = fused_attention(
+        q, k, v, key_mask, causal=False, sm_scale=hd ** -0.5,
+        use_pallas=config.attention_impl == "pallas",
+    )
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
     return _dense(ctx, params["out"])
 
@@ -280,11 +288,8 @@ def _feed_forward(params, x):
 def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
             frame_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     eps = config.layer_norm_eps
-    mask_bias = None
     if frame_mask is not None:
         hidden = hidden * frame_mask[..., None].astype(hidden.dtype)
-        neg = jnp.finfo(jnp.float32).min
-        mask_bias = (1.0 - frame_mask[:, None, None, :].astype(jnp.float32)) * neg
 
     hidden = hidden + _pos_conv_embedding(params, config, hidden)
     if not config.do_stable_layer_norm:
@@ -293,11 +298,11 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
     for layer in params["layers"]:
         if config.do_stable_layer_norm:  # pre-LN (large)
             attn_in = _layer_norm(hidden, layer["layer_norm"], eps)
-            hidden = hidden + _attention(layer["attention"], config, attn_in, mask_bias)
+            hidden = hidden + _attention(layer["attention"], config, attn_in, frame_mask)
             ff_in = _layer_norm(hidden, layer["final_layer_norm"], eps)
             hidden = hidden + _feed_forward(layer["feed_forward"], ff_in)
         else:  # post-LN (base)
-            hidden = hidden + _attention(layer["attention"], config, hidden, mask_bias)
+            hidden = hidden + _attention(layer["attention"], config, hidden, frame_mask)
             hidden = _layer_norm(hidden, layer["layer_norm"], eps)
             hidden = hidden + _feed_forward(layer["feed_forward"], hidden)
             hidden = _layer_norm(hidden, layer["final_layer_norm"], eps)

@@ -36,6 +36,7 @@ class LlamaConfig:
     max_position_embeddings: int = 2048
     tie_word_embeddings: bool = True
     attention_bias: bool = False
+    attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
 
     @property
     def head_dim(self) -> int:
@@ -160,7 +161,8 @@ def _apply_rope(q, k, cos, sin):
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 
-def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_index):
+def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_index,
+               key_padding_mask=None):
     b, t, h = x.shape
     nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
     q = _dense(x, p["q"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
@@ -180,12 +182,24 @@ def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_i
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (hd ** -0.5)
-    scores = scores + mask_bias
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if (
+        config.attention_impl == "pallas"
+        and kv_cache is None
+        and key_padding_mask is not None
+    ):
+        # fused flash path for prefill/training (q_len == kv_len, offset 0)
+        from aat_tpu.ops.attention import flash_attention
+
+        ctx = flash_attention(
+            q, k, v, key_padding_mask, True, hd ** -0.5
+        )
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        scores = scores + mask_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
     return _dense(ctx, p["out"]), new_cache
 
@@ -258,7 +272,8 @@ def llama_forward(
         attn_in = _rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
         cache = kv_caches[i] if kv_caches is not None else None
         attn_out, new_cache = _attention(
-            layer["attention"], config, attn_in, cos, sin, mask_bias, cache, cache_index
+            layer["attention"], config, attn_in, cos, sin, mask_bias, cache,
+            cache_index, key_padding_mask=attention_mask,
         )
         hidden = hidden + attn_out
         mlp_in = _rms_norm(hidden, layer["post_attention_norm"], config.rms_norm_eps)

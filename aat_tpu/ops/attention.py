@@ -1,0 +1,158 @@
+"""Fused attention Pallas kernel.
+
+The reference leans on torch ``flash_attention_2`` for its frozen encoders
+and LM (scripts/trainer_train.py:199-201,210-212); this is the TPU-native
+equivalent: a Pallas kernel that never materializes the ``[T, S]`` score
+matrix in HBM. Each grid step loads one query tile plus the full K/V for its
+(batch, head) into VMEM and computes scores → masked softmax → context in
+one fused block (at speech/caption lengths ≤ 4k, K/V fit VMEM comfortably;
+a K-tiled online-softmax variant only pays off beyond that).
+
+``flash_attention`` carries a custom VJP whose backward recomputes scores in
+XLA (FlashAttention-style rematerialization: no stored probabilities).
+
+Layouts: q [B, H, T, D], k/v [B, H, S, D], optional additive bias mask
+[B, 1, T, S] collapsed to a key-padding mask [B, S] + causal flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_Q = 256
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, causal: bool, sm_scale: float, q_offset_static: int):
+    qt = pl.program_id(1)
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [S, D]
+    v = v_ref[0]  # [S, D]
+    kmask = kmask_ref[0, 0]  # [S] int32
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [BQ, S]
+
+    s = scores.shape[1]
+    allowed = (kmask > 0)[None, :]
+    if causal:
+        q_pos = qt * _BLOCK_Q + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=0
+        ) + q_offset_static
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        allowed = allowed & (k_pos <= q_pos)
+    scores = jnp.where(allowed, scores, NEG_INF)
+
+    scores_max = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.exp(scores - scores_max)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
+
+    out_ref[0] = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _flash_forward(q, k, v, key_mask, causal, sm_scale):
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    bh = b * h
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, s, d)
+    vf = v.reshape(bh, s, d)
+    # [BH, 1, S]: a 3-D layout so the block's trailing dims equal the array's
+    # (Mosaic requires trailing block dims divisible by (8, 128) or exact).
+    maskf = jnp.repeat(key_mask.astype(jnp.int32), h, axis=0)[:, None, :]
+
+    grid = (bh, pl.cdiv(t, _BLOCK_Q))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, causal=causal, sm_scale=sm_scale, q_offset_static=0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * s * d,
+            bytes_accessed=q.dtype.itemsize * bh * (t * d * 2 + 2 * s * d),
+            transcendentals=bh * t * s,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf, maskf)
+    return out.reshape(b, h, t, d)
+
+
+def _reference_attention(q, k, v, key_mask, causal, sm_scale):
+    """XLA attention with identical masking semantics (used for backward
+    recompute and as the non-Pallas fallback)."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    allowed = key_mask[:, None, None, :] > 0
+    if causal:
+        t, s = scores.shape[-2], scores.shape[-1]
+        q_pos = jnp.arange(t)[:, None]
+        k_pos = jnp.arange(s)[None, :]
+        allowed = allowed & (k_pos <= q_pos)[None, None]
+    scores = jnp.where(allowed, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+):
+    """Fused attention: q/k/v [B, H, T|S, D], key_mask [B, S] → [B, H, T, D]."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    return _flash_forward(q, k, v, key_mask, causal, sm_scale)
+
+
+def _fwd(q, k, v, key_mask, causal, sm_scale):
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    out = _flash_forward(q, k, v, key_mask, causal, sm_scale)
+    return out, (q, k, v, key_mask)
+
+
+def _bwd(causal, sm_scale, residuals, g):
+    q, k, v, key_mask = residuals
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+
+    def f(q, k, v):
+        return _reference_attention(q, k, v, key_mask, causal, sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True):
+    """Dispatch: Pallas fused kernel or XLA fallback (same semantics)."""
+    if use_pallas:
+        return flash_attention(q, k, v, key_mask, causal, sm_scale)
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    return _reference_attention(q, k, v, key_mask, causal, sm_scale)

@@ -47,6 +47,12 @@ class TrainingConfig:
     max_segment_frames: int = 4000
     n_words: Optional[int] = None
     model_projection_from_pretrained: Optional[str] = None
+    unfreeze_lm_at_epoch: Optional[int] = None  # reference config.py:44
+    # EarlyStoppingCallback(patience=20, threshold=0.01) is constructed but
+    # commented out in the reference (trainer_train.py:69-72); here it is a
+    # working opt-in.
+    early_stopping_patience: Optional[int] = None
+    early_stopping_threshold: float = 0.01
 
     # data (reference config.py:46-57)
     sampling_rate: int = 16000
@@ -56,6 +62,9 @@ class TrainingConfig:
     noise_augmentation: bool = False
     train_dataset_path: Optional[str] = None
     validation_dataset_path: Optional[str] = None
+
+    # on-TPU datagen (segmentation inside the train step's jit)
+    max_on_device_segments: int = 64
 
     # numerics / parallelism (TPU-native additions)
     param_dtype: str = "float32"

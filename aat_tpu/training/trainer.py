@@ -137,10 +137,52 @@ class AATTrainer:
             params,
         )
 
+    def _segment_on_device(self, batch):
+        """On-TPU datagen (north-star config 5): raw padded waveforms →
+        adaptive segmentation → dense segment batch, all inside the step's
+        jit — zero host round-trips. Replaces the host collator's audio work
+        (text tokenization stays host-side by nature)."""
+        from aat_tpu.ops.ragged import materialize_segments
+        from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+
+        tok_cfg = getattr(self, "tokenizer_config", None) or TokenizerConfig(
+            max_segments=self.config.max_on_device_segments,
+            max_segment_duration_milliseconds=(
+                self.config.max_segment_frames * 1000 // self.config.sampling_rate
+            ),
+        )
+        waveforms = batch["raw_waveforms"].astype(jnp.float32)
+        lengths = batch["raw_lengths"].astype(jnp.int32)
+        valid = jnp.arange(waveforms.shape[-1])[None, :] < lengths[:, None]
+        n = jnp.maximum(lengths, 1).astype(jnp.float32)[:, None]
+
+        # tokenizer normalization (mean/std eps 1e-6, reference collate :135-138)
+        mean = jnp.sum(jnp.where(valid, waveforms, 0), -1, keepdims=True) / n
+        var = jnp.sum(jnp.where(valid, (waveforms - mean) ** 2, 0), -1, keepdims=True) / n
+        tok_norm = jnp.where(valid, (waveforms - mean) / (jnp.sqrt(var) + 1e-6), 0)
+
+        table = segment_waveforms(tok_norm, lengths, tok_cfg)
+
+        # processor normalization for segment content (eps 1e-7, :301)
+        proc_norm = jnp.where(valid, (waveforms - mean) * jax.lax.rsqrt(var + 1e-7), 0)
+        segments, frame_mask = materialize_segments(
+            proc_norm, table["starts"], table["ends"], table["out_lens"],
+            table["segment_mask"], tok_cfg.max_segment_frames,
+        )
+        return {
+            **batch,
+            "batched_segments": segments,
+            "segments_waveforms_mask": frame_mask.astype(jnp.float32),
+            "segments_boarders_attention_mask": table["segment_mask"].astype(jnp.int32),
+        }
+
     def _assemble_and_forward(self, params, batch):
         model = self.model
         compute_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         params = self._cast_for_compute(params)
+
+        if "raw_waveforms" in batch:
+            batch = self._segment_on_device(batch)
 
         if "batched_segments" in batch:
             # segmented path (reference AATTrainerSegmentation :663-730):
@@ -286,6 +328,32 @@ class AATTrainer:
         self.state = TrainState(self.state.step + 1, new_params, new_opt)
         return {k: float(v) for k, v in acc_metrics.items()}
 
+    def unfreeze_lm_decoder(self):
+        """Enable LM decoder training mid-run (reference
+        ``unfreeze_lm_at_epoch``, src/aat/training/config.py:44). Rebuilds
+        the freeze mask and re-initializes optimizer state for the newly
+        trainable subtree."""
+        self.config.train_lm_decoder = True
+        self.freeze = optim_lib.trainable_mask(
+            self.state.params,
+            train_audio_encoder=self.config.train_audio_encoder,
+            train_lm_decoder=True,
+        )
+        if self.config.optimizer == "adamw":
+            self.tx = optim_lib.adamw_grouped(
+                self.schedule, self.state.params,
+                weight_decay=self.config.weight_decay,
+                grad_clip_norm=self.config.grad_clip_norm,
+                freeze=self.freeze,
+            )
+        else:
+            self.tx = optim_lib.adafactor(self.schedule, freeze=self.freeze)
+        self.state = TrainState(
+            self.state.step, self.state.params, self.tx.init(self.state.params)
+        )
+        self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
+        logger.info("lm decoder unfrozen at step %d", self.state.step)
+
     def train(
         self,
         train_batches: Iterable[dict],
@@ -295,6 +363,11 @@ class AATTrainer:
         cfg = self.config
         if resume_from_checkpoint:
             self.restore_checkpoint(resume_from_checkpoint)
+        early_stopping = (
+            EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_threshold)
+            if cfg.early_stopping_patience
+            else None
+        )
 
         micro: List[dict] = []
         t_start = time.time()
@@ -311,7 +384,11 @@ class AATTrainer:
                 self.log_fn(metrics)
                 t_start = time.time()
             if cfg.eval_steps and step % cfg.eval_steps == 0 and eval_batches is not None:
-                self.log_fn(self.evaluate(eval_batches()))
+                eval_metrics = self.evaluate(eval_batches())
+                self.log_fn(eval_metrics)
+                if early_stopping is not None and early_stopping.should_stop(eval_metrics):
+                    logger.info("early stopping at step %d", step)
+                    break
             if cfg.save_steps and step % cfg.save_steps == 0:
                 self.save_checkpoint()
             if cfg.max_steps is not None and step >= cfg.max_steps:
@@ -467,6 +544,31 @@ class AATTrainer:
         params = mesh_lib.place_params(restored["params"], self.mesh)
         self.state = TrainState(int(restored["step"]), params, self.tx.init(params))
         logger.info("restored checkpoint %s at step %d", path, self.state.step)
+
+
+class EarlyStopping:
+    """Stop after ``patience`` evals without ``threshold`` improvement
+    (the reference constructs HF's EarlyStoppingCallback with these
+    semantics but leaves it commented out, trainer_train.py:69-72)."""
+
+    def __init__(self, patience: int, threshold: float = 0.01,
+                 metric: str = "eval/loss"):
+        self.patience = patience
+        self.threshold = threshold
+        self.metric = metric
+        self.best = float("inf")
+        self.strikes = 0
+
+    def should_stop(self, metrics: Dict[str, float]) -> bool:
+        value = metrics.get(self.metric)
+        if value is None:
+            return False
+        if value < self.best - self.threshold:
+            self.best = value
+            self.strikes = 0
+        else:
+            self.strikes += 1
+        return self.strikes >= self.patience
 
 
 class AATTrainerSegmentation(AATTrainer):

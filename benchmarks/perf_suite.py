@@ -1,0 +1,163 @@
+"""Internal performance suite (one JSON line per benchmark).
+
+bench.py remains the driver's single-line headline benchmark; this suite
+tracks the other hot paths: HuBERT segment encoding (f32/bf16), fused
+attention at whole-utterance lengths (XLA vs Pallas), VQ, and the train
+step. Run on the real TPU:
+
+    python benchmarks/perf_suite.py [--quick]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, seconds, work, unit):
+    print(json.dumps({
+        "metric": name,
+        "value": round(work / seconds, 2),
+        "unit": unit,
+        "ms": round(seconds * 1e3, 3),
+    }), flush=True)
+
+
+def bench_hubert_segments(quick):
+    import jax
+    import jax.numpy as jnp
+
+    from aat_tpu.models import hubert as hub
+
+    cfg = hub.hubert_large_config()
+    # device_put once: numpy params passed per-call would re-transfer the
+    # whole tree every iteration (catastrophic over a remoted backend)
+    params = jax.device_put(hub.init_hubert_params(0, cfg))
+    n_seg, frames = (32, 4000) if quick else (128, 4000)
+    rng = np.random.default_rng(0)
+    wav = rng.normal(0, 0.5, (n_seg, frames)).astype(np.float32)
+    mask = np.ones((n_seg, frames), np.int32)
+    audio_seconds = n_seg * frames / 16000
+
+    f32 = jax.jit(lambda p, w, m: hub.hubert_encode(p, cfg, w, m)[0])
+    dt = timeit(f32, params, jnp.asarray(wav), jnp.asarray(mask))
+    report("hubert_large_encode_f32", dt, audio_seconds, "audio_s/s")
+
+    params_bf16 = jax.device_put(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    )
+    bf16 = jax.jit(
+        lambda p, w, m: hub.hubert_encode(p, cfg, w.astype(jnp.bfloat16), m)[0]
+    )
+    dt = timeit(bf16, params_bf16, jnp.asarray(wav), jnp.asarray(mask))
+    report("hubert_large_encode_bf16", dt, audio_seconds, "audio_s/s")
+
+
+def bench_attention(quick):
+    import jax
+    import jax.numpy as jnp
+
+    from aat_tpu.ops.attention import attention
+
+    b, h, t, d = (4, 16, 1536, 64)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (b, h, t, d)).astype(np.float32))
+    mask = jnp.ones((b, t), jnp.int32)
+    flops = 4 * b * h * t * t * d
+
+    xla = jax.jit(lambda q, k, v: attention(q, k, v, mask, use_pallas=False))
+    dt = timeit(xla, q, k, v)
+    report("attention_xla_f32", dt, flops / 1e12, "TFLOP/s")
+
+    pls = jax.jit(lambda q, k, v: attention(q, k, v, mask, use_pallas=True))
+    dt = timeit(pls, q, k, v)
+    report("attention_pallas_f32", dt, flops / 1e12, "TFLOP/s")
+
+    qb, kb, vb = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    pls16 = jax.jit(lambda q, k, v: attention(q, k, v, mask, use_pallas=True))
+    dt = timeit(pls16, qb, kb, vb)
+    report("attention_pallas_bf16", dt, flops / 1e12, "TFLOP/s")
+
+
+def bench_vq(quick):
+    import jax.numpy as jnp
+
+    from aat_tpu.ops.vq import nearest_codebook, nearest_codebook_pallas
+
+    n, d, k = (4096, 1024, 8192)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (n, d)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(0, 1, (k, d)).astype(np.float32))
+    work = n * k * d * 2 / 1e12
+
+    dt = timeit(lambda a, b: nearest_codebook(a, b)[0], x, cb)
+    report("vq_argmin_xla", dt, work, "TFLOP/s")
+    dt = timeit(lambda a, b: nearest_codebook_pallas(a, b)[0], x, cb)
+    report("vq_argmin_pallas", dt, work, "TFLOP/s")
+
+
+def bench_tokenize(quick):
+    import jax
+
+    from aat_tpu.ops.ragged import materialize_segments
+    from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+
+    batch, seconds = 16, 30.0
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.3, (batch, int(seconds * 16000))).astype(np.float32)
+    lengths = np.full((batch,), w.shape[-1], np.int32)
+    config = TokenizerConfig(max_segments=128)
+
+    @jax.jit
+    def tokenize(w, l):
+        t = segment_waveforms(w, l, config)
+        return materialize_segments(
+            w, t["starts"], t["ends"], t["out_lens"], t["segment_mask"],
+            config.max_segment_frames,
+        )
+
+    dt = timeit(tokenize, w, lengths)
+    report("adaptive_tokenize", dt, batch * seconds, "audio_s/s")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--only", default=None)
+    args = parser.parse_args()
+
+    benches = {
+        "tokenize": bench_tokenize,
+        "hubert": bench_hubert_segments,
+        "attention": bench_attention,
+        "vq": bench_vq,
+    }
+    for name, fn in benches.items():
+        if args.only and name != args.only:
+            continue
+        fn(args.quick)
+
+
+if __name__ == "__main__":
+    main()

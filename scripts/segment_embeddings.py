@@ -45,6 +45,7 @@ def main():
 
     cfg = TrainingConfig(audio_encoder_checkpoint=args.encoder)
     params, enc_cfg = build_audio_encoder(cfg, pretrained=args.pretrained)
+    params = jax.device_put(params)  # once — ported params start as host numpy
 
     tokenizer = AdaptiveAudioTokenizer()
     max_frames = tokenizer.max_segment_frames

@@ -157,9 +157,13 @@ def main():
     )
 
     def run():
-        for _epoch in range(int(config.num_train_epochs)):
-            trainer.train(train_iter, val_iter,
-                          resume_from_checkpoint=args.resume_from_checkpoint)
+        for epoch in range(int(config.num_train_epochs)):
+            if config.unfreeze_lm_at_epoch is not None and epoch == config.unfreeze_lm_at_epoch:
+                trainer.unfreeze_lm_decoder()
+            trainer.train(
+                train_iter, val_iter,
+                resume_from_checkpoint=args.resume_from_checkpoint if epoch == 0 else None,
+            )
         trainer.save_checkpoint()
 
     if args.profile:

@@ -21,6 +21,50 @@ from aat_tpu.training.trainer import AATTrainerSegmentation
 from aat_tpu.utils.timing import RecordTimings
 
 
+def test_on_device_datagen_training(rng, tmp_path):
+    """North-star config 5: raw waveforms enter the jitted train step;
+    segmentation + materialization + encoding + loss run with zero host
+    round-trips."""
+    from tests.conftest import make_speechlike_waveform
+
+    tokenizer = WordTokenizer()
+    config = AslmConfig(
+        projection_type="transformer_encoder",
+        audio_encoder_hidden=32, lm_hidden=32,
+        pooling=PoolingConfig(hidden_dim=32, num_heads=4, num_layers=1,
+                              ffn_dim=64, max_positions=256),
+    )
+    model = AslmModel(config, hub.tiny_test_config(), llm.tiny_test_config())
+    params = model.init_params(jax.random.PRNGKey(3))
+    tcfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=8,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        train_lm_decoder=True, logging_steps=1000, eval_steps=0, save_steps=0,
+        max_segment_frames=4000, max_on_device_segments=16,
+        output_dir=str(tmp_path),
+    )
+    trainer = AATTrainerSegmentation(model, params, tcfg)
+
+    waveforms = [make_speechlike_waveform(np.random.default_rng(i), 1.0) for i in range(2)]
+    l_max = max(w.shape[-1] for w in waveforms)
+    raw = np.zeros((2, l_max), np.float32)
+    lengths = np.zeros((2,), np.int32)
+    for i, w in enumerate(waveforms):
+        raw[i, : w.shape[-1]] = w
+        lengths[i] = w.shape[-1]
+    text = tokenizer(["<s> hello world </s>", "<s> foo bar baz </s>"], padding=True)
+    batch = {
+        "raw_waveforms": raw,
+        "raw_lengths": lengths,
+        "input_ids": text["input_ids"],
+        "attention_mask": text["attention_mask"],
+        "input_ids_attention_mask": text["attention_mask"],
+    }
+    losses = [trainer.training_step([batch])["train/loss"] for _ in range(6)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_full_pipeline_train_and_eval(rng, tmp_path):
     tokenizer = WordTokenizer()
     audio_tokenizer = AdaptiveAudioTokenizer.create(

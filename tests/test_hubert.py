@@ -75,6 +75,49 @@ def test_hubert_forward_parity(stable, norm):
     assert diff.max() < 2e-4, f"max diff {diff.max()}"
 
 
+def test_wav2vec2_forward_parity():
+    """The wav2vec2 family shares the inference graph; port + parity against
+    torch Wav2Vec2Model (reference build_audio_encoder alt path,
+    scripts/trainer_train.py:208-215)."""
+    cfg = transformers.Wav2Vec2Config(
+        vocab_size=32,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3),
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        mask_time_prob=0.0,
+        layerdrop=0.0,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    tm = transformers.Wav2Vec2Model(cfg).eval()
+    params, config = port_hubert(tm)
+
+    rng = np.random.default_rng(4)
+    wav = rng.normal(0, 0.5, (2, 1600)).astype(np.float32)
+    mask = np.ones((2, 1600), dtype=np.int64)
+    mask[1, 1000:] = 0
+    with torch.no_grad():
+        ref = tm(
+            input_values=torch.from_numpy(wav),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    ours, fm = hub.hubert_encode(params, config, jnp.asarray(wav), jnp.asarray(mask))
+    diff = np.abs(np.asarray(ours) - ref)[np.asarray(fm)]
+    assert diff.max() < 2e-4, f"max diff {diff.max()}"
+
+
 def test_feature_lengths_match_torch():
     tm = build_torch_hubert()
     _, config = port_hubert(tm)
