@@ -192,17 +192,34 @@ def _dft_mel_constants(n_fft: int, n_mels: int, sampling_rate: int, fmax: float)
     return basis.astype(np.float32), mel_filters.astype(np.float32)
 
 
+def _frames_by_slicing(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int):
+    """Extract overlapping frames from ``[B, P]`` (P multiple of hop) using
+    row stacking + slicing only — per-element gathers run ~85M elem/s on
+    TPU, while this is memcpy-class. Frame t = padded[t*hop : t*hop+n_fft].
+    """
+    b, p = padded.shape
+    rows = padded.reshape(b, p // hop, hop)
+    k = -(-n_fft // hop)  # rows spanned by one frame (ceil)
+    r_out = p // hop - (k - 1)
+    stacked = jnp.stack([rows[:, i : i + r_out] for i in range(k)], axis=2)
+    return stacked.reshape(b, r_out, k * hop)[:, :n_frames, :n_fft]
+
+
 def frame_waveform(
     waveform: jnp.ndarray, n_fft: int = N_FFT, hop_length: int = HOP_LENGTH
 ) -> jnp.ndarray:
     """Center-pad (reflect) and frame a ``[..., L]`` waveform to ``[..., T, n_fft]``."""
     half = n_fft // 2
-    pad = [(0, 0)] * (waveform.ndim - 1) + [(half, half)]
-    padded = jnp.pad(waveform, pad, mode="reflect")
+    lead = waveform.shape[:-1]
     length = waveform.shape[-1]
+    flat = waveform.reshape((-1, length))
     n_frames = num_mel_frames(length, hop_length)
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    return jnp.take(padded, idx, axis=-1)
+    p = max(-(-(length + 2 * half) // hop_length),
+            n_frames + (-(-n_fft // hop_length))) * hop_length
+    padded = jnp.pad(flat, ((0, 0), (half, half)), mode="reflect")
+    padded = jnp.pad(padded, ((0, 0), (0, p - padded.shape[-1])))
+    frames = _frames_by_slicing(padded, n_frames, n_fft, hop_length)
+    return frames.reshape(lead + (n_frames, n_fft))
 
 
 def frame_waveform_ragged(
@@ -216,25 +233,32 @@ def frame_waveform_ragged(
     Matches what the exact path computes for each row's true length: index
     ``i`` outside ``[0, len)`` reflects as ``-i`` / ``2*len - 2 - i``, so the
     frames near each utterance's tail see reflected content rather than the
-    batch zero-padding. One gather; frames past a row's valid frame count
-    contain clamped garbage and must be masked downstream.
+    batch zero-padding. The left reflection and the framing itself are pure
+    slicing; only the per-row tail reflection (``half`` samples per row)
+    needs a (tiny) gather + scatter. Frames past a row's valid frame count
+    contain stale content and must be masked downstream.
     """
     b, l_max = waveforms.shape
     half = n_fft // 2
+    w = waveforms.astype(jnp.float32)
     n_frames = num_mel_frames(l_max, hop_length)
-    raw = (
-        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :] - half
-    )  # [T, n_fft] signed sample index
-    raw = raw[None, :, :]
-    length = lengths.astype(jnp.int32)[:, None, None]
-    idx = jnp.where(raw < 0, -raw, raw)
-    idx = jnp.where(idx >= length, 2 * length - 2 - idx, idx)
-    idx = jnp.clip(idx, 0, l_max - 1)
-    return jnp.take_along_axis(
-        waveforms[:, None, :].astype(jnp.float32),
-        idx.reshape(b, 1, -1),
-        axis=-1,
-    ).reshape(b, n_frames, n_fft)
+
+    left = w[:, 1 : half + 1][:, ::-1]  # reflect of the row start (all rows)
+    p = max(-(-(l_max + 2 * half) // hop_length),
+            n_frames + (-(-n_fft // hop_length))) * hop_length
+    padded = jnp.concatenate(
+        [left, w, jnp.zeros((b, p - half - l_max), jnp.float32)], axis=1
+    )
+
+    # per-row tail reflection: padded[half + len + j] = w[len - 2 - j]
+    length = lengths.astype(jnp.int32)
+    j = jnp.arange(half, dtype=jnp.int32)
+    src_idx = jnp.clip(length[:, None] - 2 - j[None, :], 0, l_max - 1)
+    src = jnp.take_along_axis(w, src_idx, axis=1)  # [B, half]
+    cols = jnp.minimum(half + length[:, None] + j[None, :], p - 1)
+    padded = jax.vmap(lambda row, c, s: row.at[c].set(s))(padded, cols, src)
+
+    return _frames_by_slicing(padded, n_frames, n_fft, hop_length)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "n_mels", "sampling_rate", "fmax", "use_pallas"))

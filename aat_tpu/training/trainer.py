@@ -168,6 +168,10 @@ class AATTrainer:
         segments, frame_mask = materialize_segments(
             proc_norm, table["starts"], table["ends"], table["out_lens"],
             table["segment_mask"], tok_cfg.max_segment_frames,
+            start_granularity=(
+                tok_cfg.start_granularity
+                if proc_norm.shape[-1] % tok_cfg.start_granularity == 0 else 1
+            ),
         )
         return {
             **batch,

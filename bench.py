@@ -41,6 +41,10 @@ def make_speechlike(rng, seconds, sr=16000):
 def main():
     import jax
 
+    from aat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from aat_tpu.ops.ragged import materialize_segments
     from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
 
@@ -60,19 +64,29 @@ def main():
         segments, frame_mask = materialize_segments(
             waveforms, table["starts"], table["ends"], table["out_lens"],
             table["segment_mask"], max_frames,
+            start_granularity=config.start_granularity,
         )
         return table["num_segments"], segments, frame_mask
 
-    # warmup / compile
-    out = tokenize(waveforms, lengths)
-    jax.block_until_ready(out)
+    # warmup / compile. NOTE on methodology: on this remoted TPU backend
+    # block_until_ready returns before execution completes, so completion is
+    # forced by fetching a scalar that depends on the last iteration's
+    # output (launches execute in order), and the fetch round-trip is
+    # measured separately and subtracted.
+    dev_waveforms = jax.device_put(waveforms)
+    dev_lengths = jax.device_put(lengths)
+    out = tokenize(dev_waveforms, dev_lengths)
+    _ = float(out[0][0])
+    t0 = time.perf_counter()
+    _ = float(out[0][0])
+    rtt = time.perf_counter() - t0
 
-    iters = 20
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = tokenize(waveforms, lengths)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        out = tokenize(dev_waveforms, dev_lengths)
+    _ = float(out[0][0])  # force completion of the whole launch queue
+    dt = (time.perf_counter() - t0 - rtt) / iters
 
     audio_seconds = batch * seconds
     throughput = audio_seconds / dt  # audio-sec tokenized per wall-sec per chip

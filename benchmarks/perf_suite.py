@@ -20,17 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def _force(out):
+    """Force completion: fetch a scalar depending on the output (on the
+    remoted axon backend block_until_ready returns before execution ends)."""
     import jax
+    import jax.numpy as jnp
 
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def timeit(fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
+    t0 = time.perf_counter()
+    _force(out)
+    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _force(out)  # launches run in order; last-output fetch waits for all
+    return max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
 
 
 def report(name, seconds, work, unit):
@@ -135,6 +146,7 @@ def bench_tokenize(quick):
         return materialize_segments(
             w, t["starts"], t["ends"], t["out_lens"], t["segment_mask"],
             config.max_segment_frames,
+            start_granularity=config.start_granularity,
         )
 
     dt = timeit(tokenize, w, lengths)
@@ -142,6 +154,10 @@ def bench_tokenize(quick):
 
 
 def main():
+    from aat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", default=None)

@@ -79,6 +79,9 @@ def build_config(args):
 
 
 def main():
+    from aat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     config = build_config(args)
 

@@ -1,0 +1,49 @@
+"""Ragged segment ops: gather materialization vs oracle, DMA Pallas kernel
+parity, masked pooling."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from aat_tpu.ops.ragged import masked_mean, materialize_segments
+
+
+def make_case(rng, b=2, s=8, l=4000, max_frames=512):
+    waveforms = rng.normal(0, 1, (b, l)).astype(np.float32)
+    starts = np.sort(rng.integers(0, l - 600, (b, s)), axis=1)
+    lens = rng.integers(100, 500, (b, s))
+    ends = np.minimum(starts + lens, l)
+    out_lens = np.maximum(ends - starts, 128)  # some padded tails
+    mask = np.ones((b, s), bool)
+    mask[0, -2:] = False
+    return waveforms, starts, ends, out_lens, mask, max_frames
+
+
+def oracle(waveforms, starts, ends, out_lens, mask, max_frames):
+    b, s = starts.shape
+    segs = np.zeros((b, s, max_frames), np.float32)
+    msk = np.zeros((b, s, max_frames), bool)
+    for i in range(b):
+        for j in range(s):
+            if not mask[i, j]:
+                continue
+            n = ends[i, j] - starts[i, j]
+            segs[i, j, :n] = waveforms[i, starts[i, j] : ends[i, j]]
+            msk[i, j, : out_lens[i, j]] = True
+    return segs, msk
+
+
+def test_materialize_matches_oracle(rng):
+    case = make_case(rng)
+    segs, msk = materialize_segments(*[jnp.asarray(x) for x in case[:-1]], case[-1])
+    ref_segs, ref_msk = oracle(*case)
+    np.testing.assert_array_equal(np.asarray(segs), ref_segs)
+    np.testing.assert_array_equal(np.asarray(msk), ref_msk)
+
+
+def test_masked_mean():
+    x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]])
+    out = np.asarray(masked_mean(x, mask))
+    np.testing.assert_allclose(out[0], x[0, :2].mean(0))
+    np.testing.assert_allclose(out[1], x[1].mean(0))
