@@ -91,6 +91,8 @@ class TokenizedAudioWaveformCollator:
         melspec_cache_dir: Optional[str] = None,
         max_segment_waveform_frames: Optional[int] = None,
         seed: int = 0,
+        bucket_text: int = 16,
+        bucket_segments: int = 8,
     ):
         assert segmentation in ("uniform", "adaptive")
         self.audio_encoder_type = audio_encoder_type
@@ -107,6 +109,12 @@ class TokenizedAudioWaveformCollator:
             max_segment_waveform_frames or audio_tokenizer.max_segment_frames
         )
         self.rng = np.random.default_rng(seed)
+        # shape bucketing: round padded text lengths / segment counts up to
+        # multiples so jitted steps see few distinct shapes (TPU-native
+        # addition; the reference pads to the per-batch max and would
+        # recompile-equivalently re-trace every batch)
+        self.bucket_text = bucket_text
+        self.bucket_segments = bucket_segments
 
     # ------------------------------------------------------------------
 
@@ -219,18 +227,37 @@ class TokenizedAudioWaveformCollator:
             all_boundaries.append(np.asarray(boundaries))
             max_frame_lens.append(int(raw_lengths.max()))
 
+        def bucket_pad(ids, mask, multiple):
+            if multiple <= 1:
+                return ids, mask
+            width = -(-ids.shape[1] // multiple) * multiple
+            pad = ((0, 0), (0, width - ids.shape[1]))
+            return np.pad(ids, pad), np.pad(mask, pad)
+
         result: Dict[str, np.ndarray] = {}
         tokenized = tokenizer(texts, padding=True)
-        result["input_ids"] = np.asarray(tokenized["input_ids"])
-        result["attention_mask"] = np.asarray(tokenized["attention_mask"])
-        result["input_ids_attention_mask"] = result["attention_mask"]
+        ids, mask = bucket_pad(
+            np.asarray(tokenized["input_ids"]),
+            np.asarray(tokenized["attention_mask"]),
+            self.bucket_text,
+        )
+        result["input_ids"] = ids
+        result["attention_mask"] = mask
+        result["input_ids_attention_mask"] = mask
 
         tokenized_prefix = tokenizer(prefixes, padding=True)
-        result["prefix_input_ids"] = np.asarray(tokenized_prefix["input_ids"])
-        result["prefix_attention_mask"] = np.asarray(tokenized_prefix["attention_mask"])
+        pids, pmask = bucket_pad(
+            np.asarray(tokenized_prefix["input_ids"]),
+            np.asarray(tokenized_prefix["attention_mask"]),
+            self.bucket_text,
+        )
+        result["prefix_input_ids"] = pids
+        result["prefix_attention_mask"] = pmask
 
         bs = len(items)
         max_n_bounds = max(len(b) for b in all_boundaries)
+        if self.bucket_segments > 1:
+            max_n_bounds = -(-max_n_bounds // self.bucket_segments) * self.bucket_segments
         boarders = np.zeros((bs, max_n_bounds), dtype=np.int64)
         boarders_mask = np.zeros((bs, max_n_bounds), dtype=np.int64)
         for i, b in enumerate(all_boundaries):

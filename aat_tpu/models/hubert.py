@@ -47,6 +47,7 @@ class HubertConfig:
     hidden_dropout: float = 0.0
     attention_dropout: float = 0.0
     attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
+    remat: bool = False  # rematerialize encoder layers (memory for FLOPs)
 
     @property
     def head_dim(self) -> int:
@@ -295,7 +296,7 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
     if not config.do_stable_layer_norm:
         hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
 
-    for layer in params["layers"]:
+    def layer_step(hidden, layer):
         if config.do_stable_layer_norm:  # pre-LN (large)
             attn_in = _layer_norm(hidden, layer["layer_norm"], eps)
             hidden = hidden + _attention(layer["attention"], config, attn_in, frame_mask)
@@ -306,6 +307,12 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
             hidden = _layer_norm(hidden, layer["layer_norm"], eps)
             hidden = hidden + _feed_forward(layer["feed_forward"], hidden)
             hidden = _layer_norm(hidden, layer["final_layer_norm"], eps)
+        return hidden
+
+    if config.remat:
+        layer_step = jax.checkpoint(layer_step)
+    for layer in params["layers"]:
+        hidden = layer_step(hidden, layer)
 
     if config.do_stable_layer_norm:
         hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)

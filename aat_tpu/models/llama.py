@@ -37,6 +37,7 @@ class LlamaConfig:
     tie_word_embeddings: bool = True
     attention_bias: bool = False
     attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
+    remat: bool = False  # rematerialize decoder layers (training only)
 
     @property
     def head_dim(self) -> int:
@@ -268,9 +269,9 @@ def llama_forward(
 
     hidden = inputs_embeds
     new_caches = [] if kv_caches is not None else None
-    for i, layer in enumerate(params["layers"]):
+
+    def layer_step(hidden, layer, cache):
         attn_in = _rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
-        cache = kv_caches[i] if kv_caches is not None else None
         attn_out, new_cache = _attention(
             layer["attention"], config, attn_in, cos, sin, mask_bias, cache,
             cache_index, key_padding_mask=attention_mask,
@@ -278,6 +279,13 @@ def llama_forward(
         hidden = hidden + attn_out
         mlp_in = _rms_norm(hidden, layer["post_attention_norm"], config.rms_norm_eps)
         hidden = hidden + _mlp(layer["mlp"], mlp_in)
+        return hidden, new_cache
+
+    if config.remat and kv_caches is None:
+        layer_step = jax.checkpoint(layer_step, static_argnums=())
+    for i, layer in enumerate(params["layers"]):
+        cache = kv_caches[i] if kv_caches is not None else None
+        hidden, new_cache = layer_step(hidden, layer, cache)
         if new_caches is not None:
             new_caches.append(new_cache)
 

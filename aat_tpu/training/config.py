@@ -66,6 +66,9 @@ class TrainingConfig:
     # on-TPU datagen (segmentation inside the train step's jit)
     max_on_device_segments: int = 64
 
+    # failure containment: skip optimizer updates on non-finite loss
+    skip_nonfinite_updates: bool = True
+
     # numerics / parallelism (TPU-native additions)
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -326,11 +326,25 @@ class AATTrainer:
         if n > 1:
             acc_grads = jax.tree.map(lambda g: g / n, acc_grads)
             acc_metrics = jax.tree.map(lambda m: m / n, acc_metrics)
+        host_metrics = {k: float(v) for k, v in acc_metrics.items()}
+        if self.config.skip_nonfinite_updates and not np.isfinite(
+            host_metrics["train/loss"]
+        ):
+            # failure containment: drop the update, keep training
+            logger.warning(
+                "non-finite loss %s at step %d; skipping update",
+                host_metrics["train/loss"], self.state.step,
+            )
+            host_metrics["train/skipped_nonfinite"] = 1.0
+            self.state = TrainState(
+                self.state.step + 1, self.state.params, self.state.opt_state
+            )
+            return host_metrics
         new_params, new_opt = self._apply_step(
             self.state.params, self.state.opt_state, acc_grads
         )
         self.state = TrainState(self.state.step + 1, new_params, new_opt)
-        return {k: float(v) for k, v in acc_metrics.items()}
+        return host_metrics
 
     def unfreeze_lm_decoder(self):
         """Enable LM decoder training mid-run (reference
@@ -482,10 +496,18 @@ class AATTrainer:
                     for a in arrays
                 ])
 
+            gen, refs, prefs = pad_cat(generated), pad_cat(references), pad_cat(prefixes)
+            if jax.process_count() > 1:
+                # multihost eval: gather every host's generations before
+                # scoring (the accelerate gather_for_metrics equivalent,
+                # reference trainer.py:365-383,425)
+                from jax.experimental.multihost_utils import process_allgather
+
+                gen = process_allgather(gen).reshape(-1, gen.shape[-1])
+                refs = process_allgather(refs).reshape(-1, refs.shape[-1])
+                prefs = process_allgather(prefs).reshape(-1, prefs.shape[-1])
             metrics.update(self.compute_metrics(
-                generated_ids=pad_cat(generated),
-                inputs_ids=pad_cat(references),
-                prefix_ids=pad_cat(prefixes),
+                generated_ids=gen, inputs_ids=refs, prefix_ids=prefs,
             ))
         return metrics
 

@@ -91,11 +91,17 @@ def main():
     audio_seconds = batch * seconds
     throughput = audio_seconds / dt  # audio-sec tokenized per wall-sec per chip
     target = 100.0  # north-star: 100x real-time per chip
+    # token compression: raw encoder frames (~50 Hz) vs adaptive segment tokens
+    n_segments = int(np.sum(np.asarray(out[0])))
+    tokens_per_sec = n_segments / audio_seconds
+    compression = 50.0 / max(tokens_per_sec, 1e-9)
     print(json.dumps({
         "metric": "audio_sec_tokenized_per_sec_per_chip",
         "value": round(throughput, 1),
         "unit": "audio_s/s",
         "vs_baseline": round(throughput / target, 2),
+        "segment_tokens_per_audio_sec": round(tokens_per_sec, 2),
+        "frame_to_token_compression": round(compression, 1),
     }))
 
 

@@ -139,8 +139,9 @@ def test_n_words_crop_bounds_text(rng):
     )
     items = [make_item(rng, 4.0, n_words=30)]
     batch = collator(items)
-    # <s> + up to 6 words + </s>
-    assert batch["input_ids"].shape[1] <= 8
+    # <s> + up to 6 words + </s>, bucket-padded to a multiple of 16
+    assert batch["input_ids"].shape[1] == 16
+    assert batch["attention_mask"][0].sum() <= 8
     # validation mode: no crop
     batch_val = collator(items, is_validation=True)
     assert batch_val["input_ids"].shape[1] == 32  # <s> + 30 + </s>

@@ -172,6 +172,54 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
     assert trainer.state.step == step_before
 
 
+def test_remat_matches_non_remat():
+    import dataclasses
+
+    from aat_tpu.models import hubert as hub
+
+    cfg = hub.tiny_test_config()
+    params = hub.init_hubert_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(0, 0.5, (2, 1200)).astype(np.float32))
+    mask = jnp.ones((2, 1200), jnp.int32)
+
+    out_a, _ = hub.hubert_encode(params, cfg, wav, mask)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    out_b, _ = hub.hubert_encode(params, cfg_r, wav, mask)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    # gradients flow through the rematerialized layers
+    def loss(p):
+        out, _ = hub.hubert_encode(p, cfg_r, wav, mask)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    norm = optim_lib.global_norm(g)
+    assert np.isfinite(float(norm)) and float(norm) > 0
+
+
+def test_nonfinite_loss_guard():
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(2))
+    # poison one adapter weight to produce NaN losses
+    params["adapter"]["projection"]["in"]["kernel"] = (
+        params["adapter"]["projection"]["in"]["kernel"] * np.nan
+    )
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir="/tmp/aat_tpu_nan_ckpt",
+    )
+    t = AATTrainer(model, params, cfg)
+    before = np.asarray(t.state.params["adapter"]["projection"]["out"]["kernel"])
+    rng = np.random.default_rng(3)
+    m = t.training_step([make_segmented_batch(rng)])
+    assert m.get("train/skipped_nonfinite") == 1.0
+    after = np.asarray(t.state.params["adapter"]["projection"]["out"]["kernel"])
+    np.testing.assert_array_equal(before, after)  # update was dropped
+
+
 def test_caption_cross_entropy_masks_padding():
     rng = np.random.default_rng(0)
     vocab = 11
