@@ -192,17 +192,25 @@ class AslmModel:
     def __init__(
         self,
         config: AslmConfig,
-        audio_encoder_config: hub.HubertConfig,
+        audio_encoder_config,
         lm_config: llm.LlamaConfig,
+        audio_encoder_type: str = "hubert",
     ):
         self.config = config
         self.audio_encoder_config = audio_encoder_config
         self.lm_config = lm_config
+        self.audio_encoder_type = audio_encoder_type
 
     def init_params(self, rng: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(rng, 3)
+        if self.audio_encoder_type == "efficient_net":
+            from aat_tpu.models.efficientnet import init_efficientnet_params
+
+            encoder = init_efficientnet_params()
+        else:
+            encoder = hub.init_hubert_params(k1, self.audio_encoder_config)
         return {
-            "audio_encoder": hub.init_hubert_params(k1, self.audio_encoder_config),
+            "audio_encoder": encoder,
             "adapter": init_aslm_params(k2, self.config),
             "lm_decoder": llm.init_llama_params(k3, self.lm_config),
         }
@@ -227,6 +235,24 @@ class AslmModel:
         )
         if frame_mask is None:
             frame_mask = jnp.ones(frames.shape[:2], dtype=bool)
+        if segments_mask is not None:
+            frame_mask = frame_mask & segments_mask[:, None].astype(bool)
+        return frames, frame_mask
+
+    def encode_audio_melspec(
+        self,
+        params: dict,
+        melspecs: jnp.ndarray,
+        segments_mask: Optional[jnp.ndarray] = None,
+    ):
+        """EfficientNet path: per-segment melspecs ``[N, n_mels, T]`` →
+        ``([N, 1, 1280], [N, 1])`` (reference EfficientNetAudioEncdoerAdapter
+        forward + all-ones feature mask, modeling_aslm.py:81-93)."""
+        from aat_tpu.models.efficientnet import EfficientNetAudioEncoderAdapter
+
+        adapter = EfficientNetAudioEncoderAdapter(self.audio_encoder_config)
+        frames = adapter(params["audio_encoder"], melspecs)
+        frame_mask = jnp.ones(frames.shape[:2], dtype=bool)
         if segments_mask is not None:
             frame_mask = frame_mask & segments_mask[:, None].astype(bool)
         return frames, frame_mask

@@ -60,6 +60,21 @@ def _bn_params(c):
     }
 
 
+def block_specs():
+    """Static per-block metadata (stride, kernel, cin, cout, expand) for b0;
+    kept out of the parameter pytree so grads see only arrays."""
+    specs = []
+    cin = _STEM_CH
+    for t, c, n, s, k in _B0_BLOCKS:
+        for i in range(n):
+            specs.append({
+                "stride": s if i == 0 else 1, "kernel": k,
+                "cin": cin, "cout": c, "expand": t,
+            })
+            cin = c
+    return specs
+
+
 def init_efficientnet_params(seed: int = 0) -> dict:
     r = np.random.default_rng(seed)
     params: dict = {
@@ -67,32 +82,27 @@ def init_efficientnet_params(seed: int = 0) -> dict:
         "blocks": [],
         "head": {"conv": _conv_params(r, 1, 320, _HEAD_CH), "bn": _bn_params(_HEAD_CH)},
     }
-    cin = _STEM_CH
-    for t, c, n, s, k in _B0_BLOCKS:
-        for i in range(n):
-            stride = s if i == 0 else 1
-            mid = cin * t
-            block = {"stride": stride, "kernel": k, "cin": cin, "cout": c, "expand": t}
-            p = {}
-            if t != 1:
-                p["expand_conv"] = _conv_params(r, 1, cin, mid)
-                p["expand_bn"] = _bn_params(mid)
-            p["dw_conv"] = _conv_params(r, k, mid, mid, groups=mid)
-            p["dw_bn"] = _bn_params(mid)
-            se = max(1, int(cin * _SE_RATIO))
-            p["se_reduce"] = {
-                "kernel": _conv_params(r, 1, mid, se)["kernel"],
-                "bias": np.zeros((se,), np.float32),
-            }
-            p["se_expand"] = {
-                "kernel": _conv_params(r, 1, se, mid)["kernel"],
-                "bias": np.zeros((mid,), np.float32),
-            }
-            p["project_conv"] = _conv_params(r, 1, mid, c)
-            p["project_bn"] = _bn_params(c)
-            block["params"] = p
-            params["blocks"].append(block)
-            cin = c
+    for spec in block_specs():
+        cin, c, t, k = spec["cin"], spec["cout"], spec["expand"], spec["kernel"]
+        mid = cin * t
+        p = {}
+        if t != 1:
+            p["expand_conv"] = _conv_params(r, 1, cin, mid)
+            p["expand_bn"] = _bn_params(mid)
+        p["dw_conv"] = _conv_params(r, k, mid, mid, groups=mid)
+        p["dw_bn"] = _bn_params(mid)
+        se = max(1, int(cin * _SE_RATIO))
+        p["se_reduce"] = {
+            "kernel": _conv_params(r, 1, mid, se)["kernel"],
+            "bias": np.zeros((se,), np.float32),
+        }
+        p["se_expand"] = {
+            "kernel": _conv_params(r, 1, se, mid)["kernel"],
+            "bias": np.zeros((mid,), np.float32),
+        }
+        p["project_conv"] = _conv_params(r, 1, mid, c)
+        p["project_bn"] = _bn_params(c)
+        params["blocks"].append(p)
     return params
 
 
@@ -120,14 +130,13 @@ def efficientnet_features(params: dict, images: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, 3] → [B, 1280] pooled features."""
     x = _silu(_bn(_conv2d(images, params["stem"]["conv"]["kernel"], stride=2),
                   params["stem"]["bn"]))
-    for block in params["blocks"]:
-        p = block["params"]
+    for spec, p in zip(block_specs(), params["blocks"]):
         inp = x
-        if block["expand"] != 1:
+        if spec["expand"] != 1:
             x = _silu(_bn(_conv2d(x, p["expand_conv"]["kernel"]), p["expand_bn"]))
         mid = x.shape[-1]
         x = _silu(_bn(
-            _conv2d(x, p["dw_conv"]["kernel"], stride=block["stride"], groups=mid),
+            _conv2d(x, p["dw_conv"]["kernel"], stride=spec["stride"], groups=mid),
             p["dw_bn"],
         ))
         # squeeze-excitation
@@ -136,7 +145,7 @@ def efficientnet_features(params: dict, images: jnp.ndarray) -> jnp.ndarray:
         se = jax.nn.sigmoid(_conv2d(se, p["se_expand"]["kernel"]) + jnp.asarray(p["se_expand"]["bias"]))
         x = x * se
         x = _bn(_conv2d(x, p["project_conv"]["kernel"]), p["project_bn"])
-        if block["stride"] == 1 and block["cin"] == block["cout"]:
+        if spec["stride"] == 1 and spec["cin"] == spec["cout"]:
             x = x + inp
     x = _silu(_bn(_conv2d(x, params["head"]["conv"]["kernel"]), params["head"]["bn"]))
     return jnp.mean(x, axis=(1, 2))  # global average pool → [B, 1280]
@@ -201,9 +210,8 @@ def port_efficientnet(torch_model) -> dict:
 
     params = init_efficientnet_params()
     params["stem"] = {"conv": conv(torch_model._conv_stem), "bn": bn(torch_model._bn0)}
-    for block, tb in zip(params["blocks"], torch_model._blocks):
-        p = block["params"]
-        if block["expand"] != 1:
+    for spec, p, tb in zip(block_specs(), params["blocks"], torch_model._blocks):
+        if spec["expand"] != 1:
             p["expand_conv"] = conv(tb._expand_conv)
             p["expand_bn"] = bn(tb._bn0)
         dw = conv(tb._depthwise_conv)

@@ -188,7 +188,18 @@ class AATTrainer:
         if "raw_waveforms" in batch:
             batch = self._segment_on_device(batch)
 
-        if "batched_segments" in batch:
+        if "batched_segments_melspectrograms" in batch:
+            # EfficientNet path (reference AATTrainerSegmentation melspec
+            # branch, trainer.py:676-683): [B, S, n_mels, T] → [B*S, ...]
+            mels = batch["batched_segments_melspectrograms"]
+            b, s = mels.shape[:2]
+            seg_mask = batch["segments_boarders_attention_mask"].reshape(b * s)
+            audio_embeds, frame_mask = model.encode_audio_melspec(
+                params, mels.reshape(b * s, *mels.shape[2:]).astype(compute_dtype),
+                seg_mask,
+            )
+            segments_count = s
+        elif "batched_segments" in batch:
             # segmented path (reference AATTrainerSegmentation :663-730):
             # flatten [B, S, F] → [B*S, F]
             seg = batch["batched_segments"]
@@ -197,16 +208,18 @@ class AATTrainer:
             wf_mask = batch["segments_waveforms_mask"].reshape(b * s, f)
             seg_mask = batch["segments_boarders_attention_mask"].reshape(b * s)
             segments_count = s
+            audio_embeds, frame_mask = model.encode_audio(
+                params, waveforms.astype(compute_dtype), wf_mask, seg_mask
+            )
         else:
             # whole-utterance path (reference AATTrainer :127-173)
-            waveforms = batch["waveforms"]
-            wf_mask = batch["waveforms_attention_mask"]
-            seg_mask = None
+            audio_embeds, frame_mask = model.encode_audio(
+                params,
+                batch["waveforms"].astype(compute_dtype),
+                batch["waveforms_attention_mask"],
+                None,
+            )
             segments_count = None
-
-        audio_embeds, frame_mask = model.encode_audio(
-            params, waveforms.astype(compute_dtype), wf_mask, seg_mask
-        )
         inputs = model.prepare_audio_inputs(
             params,
             audio_embeds=audio_embeds,
@@ -417,7 +430,15 @@ class AATTrainer:
         """Assemble [audio | prefix-text] embeds for generation (reference
         update_eval_set_kwargs_containers, trainer.py:556-566)."""
         model = self.model
-        if "batched_segments" in batch:
+        if "batched_segments_melspectrograms" in batch:
+            mels = batch["batched_segments_melspectrograms"]
+            b, s = mels.shape[:2]
+            audio_embeds, frame_mask = model.encode_audio_melspec(
+                params, mels.reshape(b * s, *mels.shape[2:]),
+                batch["segments_boarders_attention_mask"].reshape(b * s),
+            )
+            segments_count = s
+        elif "batched_segments" in batch:
             seg = batch["batched_segments"]
             b, s, f = seg.shape
             audio_embeds, frame_mask = model.encode_audio(
