@@ -1,0 +1,72 @@
+"""Data utilities: batch iterators, precomputed-embedding dataset, JSONL
+tracker, timing helpers."""
+
+import json
+
+import numpy as np
+
+from aat_tpu.data.dataloaders import BatchIterator, build_dataloaders
+from aat_tpu.data.datasets import SegmentedEmbeddingsDataset
+from aat_tpu.utils.tracking import JsonlTracker
+
+
+def collate_ids(items, is_validation=False):
+    return {"ids": np.asarray(items), "val": is_validation}
+
+
+def test_batch_iterator_shuffles_and_drops_last():
+    it = BatchIterator(list(range(10)), collate_ids, batch_size=3,
+                       shuffle=True, drop_last=True, seed=0, prefetch=0)
+    batches = list(it)
+    assert len(batches) == 3  # 10 // 3, last dropped
+    seen = sorted(int(x) for b in batches for x in b["ids"])
+    assert len(seen) == 9
+    # next epoch reshuffles
+    batches2 = list(it)
+    assert any(
+        not np.array_equal(a["ids"], b["ids"]) for a, b in zip(batches, batches2)
+    )
+
+
+def test_batch_iterator_prefetch_thread():
+    it = BatchIterator(list(range(8)), collate_ids, batch_size=2,
+                       shuffle=False, drop_last=False, prefetch=2)
+    batches = list(it)
+    assert len(batches) == 4
+    np.testing.assert_array_equal(batches[0]["ids"], [0, 1])
+
+
+def test_build_dataloaders_few_samples():
+    train, val = build_dataloaders(
+        list(range(100)), list(range(50)), collate_ids,
+        batch_size=10, few_train_samples=30, few_val_samples=5,
+    )
+    assert len(train) == 3
+    val_batches = list(val)
+    assert sum(len(b["ids"]) for b in val_batches) == 5
+    assert all(b["val"] for b in val_batches)  # is_validation=True
+
+
+def test_segmented_embeddings_dataset(tmp_path):
+    emb = np.random.default_rng(0).normal(0, 1, (3, 8)).astype(np.float32)
+    path = tmp_path / "item0.npy"
+    np.save(path, emb)
+    ds = SegmentedEmbeddingsDataset([
+        {"id": "a", "segments_embeddings_path": str(path)}
+    ])
+    assert len(ds) == 1
+    item = ds[0]
+    np.testing.assert_array_equal(item["segments_embeddings"], emb)
+
+
+def test_jsonl_tracker(tmp_path, monkeypatch):
+    monkeypatch.setenv("WANDB_MODE", "disabled")
+    path = tmp_path / "m.jsonl"
+    tracker = JsonlTracker(str(path), config={"lr": 0.1})
+    tracker.log({"train/loss": 1.5})
+    tracker.log({"train/loss": 1.0, "wer": 0.4})
+    tracker.finish()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["_config"]["lr"] == 0.1
+    assert lines[1]["train/loss"] == 1.5
+    assert lines[2]["_step"] == 2 and lines[2]["wer"] == 0.4
