@@ -153,6 +153,49 @@ def bench_tokenize(quick):
     report("adaptive_tokenize", dt, batch * seconds, "audio_s/s")
 
 
+def bench_segment_embeddings(quick):
+    """BASELINE config 2 end-to-end: raw waveforms → adaptive segmentation →
+    dense segments → HuBERT-large encode → masked segment means, one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.ops.ragged import masked_mean, materialize_segments
+    from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+
+    cfg = hub.hubert_large_config()
+    params = jax.device_put(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                     hub.init_hubert_params(0, cfg))
+    )
+    batch, sec = (4, 10.0) if quick else (8, 15.0)
+    tok_cfg = TokenizerConfig(
+        max_segments=64, max_segment_duration_milliseconds=250,
+    )
+    rng = np.random.default_rng(0)
+    w = jax.device_put(rng.normal(0, 0.3, (batch, int(sec * 16000))).astype(np.float32))
+    lengths = jax.device_put(np.full((batch,), int(sec * 16000), np.int32))
+
+    @jax.jit
+    def pipeline(params, w, lengths):
+        t = segment_waveforms(w, lengths, tok_cfg)
+        segs, fmask = materialize_segments(
+            w, t["starts"], t["ends"], t["out_lens"], t["segment_mask"],
+            tok_cfg.max_segment_frames,
+            start_granularity=tok_cfg.start_granularity,
+        )
+        b, s, f = segs.shape
+        frames, frame_mask = hub.hubert_encode(
+            params, cfg, segs.reshape(b * s, f).astype(jnp.bfloat16),
+            fmask.reshape(b * s, f).astype(jnp.int32),
+        )
+        means = masked_mean(frames, frame_mask)  # [b*s, E]
+        return means.reshape(b, s, -1), t["num_segments"]
+
+    dt = timeit(pipeline, params, w, lengths, iters=10)
+    report("segment_embeddings_e2e_bf16", dt, batch * sec, "audio_s/s")
+
+
 def main():
     from aat_tpu.utils.cache import enable_compilation_cache
 
@@ -166,6 +209,7 @@ def main():
     benches = {
         "tokenize": bench_tokenize,
         "hubert": bench_hubert_segments,
+        "segment_embeddings": bench_segment_embeddings,
         "attention": bench_attention,
         "vq": bench_vq,
     }

@@ -126,6 +126,35 @@ def test_beam_reference_settings_smoke(ported):
     assert out.dtype == np.int32
 
 
+def test_beam_matches_hf_without_eos(ported):
+    """Without eos (no finished-hypothesis pool) and length_penalty=1.0, our
+    fixed-shape beam should select the same best sequence as HF's."""
+    tm, params, config = ported
+    rng = np.random.default_rng(6)
+    embeds = rng.normal(0, 0.02, (2, 5, 32)).astype(np.float32)
+    mask = np.ones((2, 5), dtype=np.int64)
+
+    with torch.no_grad():
+        ref = tm.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=8,
+            do_sample=False,
+            num_beams=3,
+            eos_token_id=None,
+            pad_token_id=0,
+            length_penalty=1.0,
+            early_stopping=False,
+        ).numpy()
+
+    ours = np.asarray(beam_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=8, num_beams=3, eos_token_id=-1,
+                         pad_token_id=0),
+    ))
+    np.testing.assert_array_equal(ours, ref[:, :8])
+
+
 def test_eos_terminates_and_pads(ported):
     _, params, config = ported
     rng = np.random.default_rng(5)
