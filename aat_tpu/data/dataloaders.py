@@ -59,6 +59,7 @@ class BatchIterator:
         self.prefetch = prefetch
         self.is_validation = is_validation
         self._epoch = 0
+        self._accepts_is_validation = None
 
     def __len__(self):
         n = len(self.items)
@@ -77,11 +78,18 @@ class BatchIterator:
         return batches
 
     def _collate(self, chunk) -> dict:
+        import inspect
+
         items = [self.items[int(i)] for i in chunk]
-        try:
+        if self._accepts_is_validation is None:
+            try:
+                sig = inspect.signature(self.collate_fn)
+                self._accepts_is_validation = "is_validation" in sig.parameters
+            except (TypeError, ValueError):
+                self._accepts_is_validation = False
+        if self._accepts_is_validation:
             return self.collate_fn(items, is_validation=self.is_validation)
-        except TypeError:
-            return self.collate_fn(items)
+        return self.collate_fn(items)
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()

@@ -166,6 +166,13 @@ def pooling_forward(
     with key-padding mask → l_out on the CLS position → [N, 1, out_dim]."""
     h = _dense(inputs_embeds, params["l_in"])
     t = h.shape[1]
+    max_positions = params["positional_embeddings"]["embedding"].shape[0]
+    assert t <= max_positions, (
+        f"pooling input has {t} positions (CLS + encoder frames) but the "
+        f"positional table holds {max_positions}; set "
+        f"PoolingConfig.max_positions >= encoder frames per segment + 1 "
+        f"(reference contract, modeling_aslm.py:110-112)"
+    )
     h = h + params["positional_embeddings"]["embedding"][:t, :]
     key_padding = attention_mask == 0
 

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 256
+# 512 swept best on v5e at [4,16,1536,64]: f32 27.6 / bf16 37.3 TFLOP/s
+# (256 → 27.3/?, 768 → 15.7); shorter sequences pad into a single tile.
+_BLOCK_Q = 512
 NEG_INF = -1e30
 
 

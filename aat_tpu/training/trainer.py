@@ -143,7 +143,9 @@ class AATTrainer:
         jit — zero host round-trips. Replaces the host collator's audio work
         (text tokenization stays host-side by nature)."""
         from aat_tpu.ops.ragged import materialize_segments
-        from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+        from aat_tpu.ops.segmentation import (
+            TokenizerConfig, segment_waveforms, uniform_segment_table,
+        )
 
         tok_cfg = getattr(self, "tokenizer_config", None) or TokenizerConfig(
             max_segments=self.config.max_on_device_segments,
@@ -161,7 +163,12 @@ class AATTrainer:
         var = jnp.sum(jnp.where(valid, (waveforms - mean) ** 2, 0), -1, keepdims=True) / n
         tok_norm = jnp.where(valid, (waveforms - mean) / (jnp.sqrt(var) + 1e-6), 0)
 
-        table = segment_waveforms(tok_norm, lengths, tok_cfg)
+        if self.config.segmentation == "uniform":
+            table = uniform_segment_table(
+                lengths, self.config.max_segment_frames, tok_cfg.max_segments
+            )
+        else:
+            table = segment_waveforms(tok_norm, lengths, tok_cfg)
 
         # processor normalization for segment content (eps 1e-7, :301)
         proc_norm = jnp.where(valid, (waveforms - mean) * jax.lax.rsqrt(var + 1e-7), 0)
@@ -322,9 +329,13 @@ class AATTrainer:
             out[k] = jax.device_put(arr, sharding) if arr.ndim > 0 else arr
         return out
 
-    def training_step(self, microbatches: List[dict]) -> Dict[str, float]:
+    def training_step(
+        self, microbatches: List[dict], fetch_metrics: bool = True
+    ) -> Dict[str, float]:
         """One optimizer step over ``gradient_accumulation_steps``
-        microbatches. Returns host metrics."""
+        microbatches. Returns host metrics when ``fetch_metrics`` (a device
+        sync — pass False on non-logging steps to keep the device pipeline
+        full; the non-finite guard is then skipped for that step too)."""
         acc_grads = None
         acc_metrics = None
         for mb in microbatches:
@@ -339,7 +350,15 @@ class AATTrainer:
         if n > 1:
             acc_grads = jax.tree.map(lambda g: g / n, acc_grads)
             acc_metrics = jax.tree.map(lambda m: m / n, acc_metrics)
-        host_metrics = {k: float(v) for k, v in acc_metrics.items()}
+        if not fetch_metrics:
+            new_params, new_opt = self._apply_step(
+                self.state.params, self.state.opt_state, acc_grads
+            )
+            self.state = TrainState(self.state.step + 1, new_params, new_opt)
+            return {}
+        # one bulk transfer: per-scalar fetches each pay a full round-trip
+        # on remoted backends
+        host_metrics = {k: float(v) for k, v in jax.device_get(acc_metrics).items()}
         if self.config.skip_nonfinite_updates and not np.isfinite(
             host_metrics["train/loss"]
         ):
@@ -406,7 +425,8 @@ class AATTrainer:
             micro.append(batch)
             if len(micro) < cfg.gradient_accumulation_steps:
                 continue
-            metrics = self.training_step(micro)
+            will_log = (self.state.step + 1) % cfg.logging_steps == 0
+            metrics = self.training_step(micro, fetch_metrics=will_log)
             micro = []
             step = self.state.step
             if step % cfg.logging_steps == 0:

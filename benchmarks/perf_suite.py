@@ -196,6 +196,69 @@ def bench_segment_embeddings(quick):
     report("segment_embeddings_e2e_bf16", dt, batch * sec, "audio_s/s")
 
 
+def bench_train_step(quick):
+    """Flagship ASLM train step (HuBERT-large + SmolLM-135M shapes, bf16,
+    segmented batch) — BASELINE config 5. Reports audio-sec trained per
+    wall-sec per chip.
+
+    Caveat: on this image's remoted backend each step pays ~1s of tunnel
+    dispatch latency regardless of compute (measured 1.1-1.7s/step with
+    ~0.1s-class device work); on locally attached TPUs the dispatch is
+    microseconds and throughput is compute-bound."""
+    import jax
+
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.trainer import AATTrainerSegmentation
+
+    audio_cfg = hub.hubert_large_config()
+    lm_cfg = llm.smollm_135m_config()
+    config = AslmConfig(
+        projection_type="linear",
+        audio_encoder_hidden=audio_cfg.hidden_size,
+        lm_hidden=lm_cfg.hidden_size,
+    )
+    model = AslmModel(config, audio_cfg, lm_cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tcfg = TrainingConfig(
+        learning_rate=1e-4, warmup_steps=10, max_steps=1000,
+        gradient_accumulation_steps=1,
+        train_audio_encoder=True, train_lm_decoder=False,
+        compute_dtype="bfloat16",
+        logging_steps=10**9, eval_steps=0, save_steps=0,
+        output_dir="/tmp/aat_bench_train",
+    )
+    trainer = AATTrainerSegmentation(model, params, tcfg)
+
+    bs, n_seg, frames, text_len = (4, 8, 4000, 32) if quick else (8, 16, 4000, 48)
+    rng = np.random.default_rng(0)
+    batch = {
+        "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
+        "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.float32),
+        "segments_boarders_attention_mask": np.ones((bs, n_seg), np.int32),
+        "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
+        "attention_mask": np.ones((bs, text_len), np.int32),
+        "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+    }
+    audio_seconds = bs * n_seg * frames / 16000
+
+    # pre-shard once: a steady-state input pipeline keeps batches device-
+    # resident (host->device transfers overlap compute); re-uploading per
+    # step would measure the tunnel, not the step
+    batch = trainer._shard_batch(batch)
+    trainer.training_step([batch])  # compile
+    t0 = time.perf_counter()
+    iters = 5
+    for i in range(iters):
+        # metrics fetched only on the last step (forces completion of the
+        # whole in-order launch queue), like a real logging cadence
+        m = trainer.training_step([batch], fetch_metrics=(i == iters - 1))
+    dt = (time.perf_counter() - t0) / iters
+    report("aslm_train_step_bf16", dt, audio_seconds, "audio_s/s")
+
+
 def main():
     from aat_tpu.utils.cache import enable_compilation_cache
 
@@ -212,6 +275,7 @@ def main():
         "segment_embeddings": bench_segment_embeddings,
         "attention": bench_attention,
         "vq": bench_vq,
+        "train_step": bench_train_step,
     }
     for name, fn in benches.items():
         if args.only and name != args.only:

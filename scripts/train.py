@@ -64,11 +64,22 @@ def build_config(args):
         config.per_device_train_batch_size = 10
         config.num_train_epochs = 2
 
+    def cast_like(current, value):
+        if isinstance(value, bool) or isinstance(current, bool):
+            return bool(value)
+        if current is not None:
+            return type(current)(value)
+        for caster in (int, float):  # None defaults: infer from the literal
+            try:
+                return caster(value)
+            except (TypeError, ValueError):
+                continue
+        return value
+
     for field in dataclasses.fields(TrainingConfig):
         value = getattr(args, field.name, None)
         if value is not None:
-            caster = type(getattr(config, field.name) or "")
-            setattr(config, field.name, caster(value) if caster is not str else value)
+            setattr(config, field.name, cast_like(getattr(config, field.name), value))
 
     # output dir suffix parity (trainer_train.py:318-323)
     config.output_dir = (

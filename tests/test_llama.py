@@ -43,6 +43,37 @@ def ported():
     return tm, params, config
 
 
+def test_qwen_style_attention_bias_parity():
+    """Qwen1.5 runs through the Llama arch with attention biases
+    (reference loads it via LlamaForCausalLM, config.py:72,98); check the
+    attention_bias=True path against torch."""
+    cfg = transformers.LlamaConfig(
+        vocab_size=96,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+        attention_bias=True,
+        rope_theta=1000000.0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    tm = transformers.LlamaForCausalLM(cfg).eval()
+    params, config = port_llama(tm)
+    assert config.attention_bias
+    assert "bias" in params["layers"][0]["attention"]["q"]
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 96, (2, 9))
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids)).logits.numpy()
+    ours, _ = llm.llama_forward(params, config, input_ids=jnp.asarray(ids))
+    assert np.abs(np.asarray(ours) - ref).max() < 2e-4
+
+
 def test_llama_logits_parity(ported):
     tm, params, config = ported
     rng = np.random.default_rng(0)

@@ -169,6 +169,45 @@ def test_device_pipeline_conservation(rng):
     assert starts[0] == 0 and ends[-1] == w.shape[-1]
 
 
+@pytest.mark.parametrize("min_ms,max_ms", [(125, 1500), (500, 250), (250, 1000)])
+def test_device_matches_host_across_configs(min_ms, max_ms):
+    """Property sweep: device pipeline == host-exact under different
+    min/max segment configs (incl. the reference's odd adaptive-training
+    combo where min > max, trainer_train.py:119-122)."""
+    config = TokenizerConfig(
+        min_segment_duration_milliseconds=min_ms,
+        max_segment_duration_milliseconds=max_ms,
+        max_segments=128,
+    )
+    tok = AdaptiveAudioTokenizer(config)
+    for seed in range(3):
+        w = mel_ops.normalize_waveform(
+            make_speechlike_waveform(np.random.default_rng(seed), 3.0 + seed)
+        )
+        host = tok.segment_spans(w)[0]
+        out = seg_ops.segment_waveforms(
+            w[None].astype(np.float32), np.array([w.size], np.int32), config
+        )
+        n = int(out["num_segments"][0])
+        dev = [
+            (int(out["starts"][0, j]), int(out["ends"][0, j]), int(out["out_lens"][0, j]))
+            for j in range(n)
+        ]
+        assert dev == host, (min_ms, max_ms, seed)
+
+
+def test_uniform_segment_table_matches_host():
+    lengths = np.array([10500, 8000, 3000], np.int32)
+    table = seg_ops.uniform_segment_table(lengths, 4000, max_segments=8)
+    for i, l in enumerate(lengths):
+        host = seg_ops.uniform_boundaries(int(l), 4000)
+        n = int(table["num_segments"][i])
+        assert n == len(host)
+        np.testing.assert_array_equal(np.asarray(table["ends"][i, :n]), host)
+        starts = np.asarray(table["starts"][i, :n])
+        np.testing.assert_array_equal(starts, np.insert(host[:-1], 0, 0))
+
+
 def test_uniform_boundaries():
     b = seg_ops.uniform_boundaries(10500, 4000)
     np.testing.assert_array_equal(b, [4000, 8000, 10500])
