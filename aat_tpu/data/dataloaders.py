@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 import threading
 import queue as queue_mod
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, List, Optional, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import jax
 
 from aat_tpu.models import hubert as hub
 from aat_tpu.models import llama as llm
-from aat_tpu.models.aslm import AslmConfig, AslmModel, PoolingConfig
+from aat_tpu.models.aslm import AslmConfig, AslmModel
 from aat_tpu.training.config import TrainingConfig
 
 logger = logging.getLogger(__name__)

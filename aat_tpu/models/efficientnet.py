@@ -17,7 +17,6 @@ frozen — scripts/trainer_train.py:216-221 loads pretrained b0).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Weights port from torch checkpoints via aat_tpu.utils.port.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple
 
 import jax

@@ -26,7 +26,6 @@ STFT+mel recipe, re-derived GEMM-first for the MXU.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ references, newline→space, strip, lowercase (compute_metrics.py:43-70).
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 
 # ---------------------------------------------------------------------------
