@@ -192,43 +192,61 @@ def beam_generate(
 
     bk = b * k
     generated = jnp.full((bk, max_new), config.pad_token_id, jnp.int32)
-    finished = jnp.zeros((bk,), bool)
     # beam scores: only beam 0 alive initially
     beam_scores = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None, :], (b, 1)
     ).reshape(bk)
+    # finished-hypothesis pool (HF BeamSearchScorer semantics with
+    # num_return_sequences=1: eos candidates among the top 2K retire to the
+    # pool; running beams continue with the best non-eos candidates)
+    best_done_score = jnp.full((b,), NEG_INF)
+    best_done_seq = jnp.full((b, max_new), config.pad_token_id, jnp.int32)
 
     def step_fn(carry, step):
-        last_logits, caches, cache_mask, generated, finished, beam_scores = carry
+        (last_logits, caches, cache_mask, generated, beam_scores,
+         best_done_score, best_done_seq) = carry
         gen_mask = jnp.arange(max_new)[None, :] < step
         logits = _process_logits(last_logits, generated, gen_mask, step, config)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [BK, V]
         v = logprobs.shape[-1]
 
-        # finished beams only propose pad with unchanged score
-        pad_row = jnp.full((v,), NEG_INF).at[config.pad_token_id].set(0.0)
-        logprobs = jnp.where(finished[:, None], pad_row[None, :], logprobs)
-
-        cand = beam_scores[:, None] + logprobs  # [BK, V]
-        cand = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, K]
-        src_beam = top_idx // v  # [B, K] which beam each winner came from
+        cand = (beam_scores[:, None] + logprobs).reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)  # [B, 2K]
+        src_beam = top_idx // v
         token = (top_idx % v).astype(jnp.int32)
+        is_eos = token == config.eos_token_id
 
-        # reorder beam state
-        flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(bk)
+        # retire the best eos candidate into the pool (length_penalty 1.0:
+        # raw cumulative log-prob; the eos token itself is not emitted)
+        eos_scores = jnp.where(is_eos, top_scores, NEG_INF)
+        best_eos = jnp.max(eos_scores, axis=-1)  # [B]
+        best_eos_src = jnp.take_along_axis(
+            src_beam, jnp.argmax(eos_scores, axis=-1)[:, None], axis=1
+        )[:, 0]
+        improved = best_eos > best_done_score
+        done_seq_candidate = generated.reshape(b, k, max_new)[
+            jnp.arange(b), best_eos_src
+        ]
+        best_done_seq = jnp.where(improved[:, None], done_seq_candidate, best_done_seq)
+        best_done_score = jnp.maximum(best_done_score, best_eos)
+
+        # continue with the top-K non-eos candidates
+        cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        order = jnp.argsort(-cont_scores, axis=-1)[:, :k]  # [B, K]
+        new_scores = jnp.take_along_axis(cont_scores, order, axis=1)
+        new_token = jnp.take_along_axis(token, order, axis=1)
+        new_src = jnp.take_along_axis(src_beam, order, axis=1)
+
+        flat_src = (jnp.arange(b)[:, None] * k + new_src).reshape(bk)
         def reorder(x):
             return x[flat_src]
 
         generated = reorder(generated)
-        finished = reorder(finished)
         cache_mask = reorder(cache_mask)
         caches = [(reorder(c[0]), reorder(c[1])) for c in caches]
-        last_token = token.reshape(bk)
-        last_token = jnp.where(finished, config.pad_token_id, last_token)
+        last_token = new_token.reshape(bk)
         generated = generated.at[:, step].set(last_token)
-        finished = finished | (last_token == config.eos_token_id)
-        beam_scores = top_scores.reshape(bk)
+        beam_scores = new_scores.reshape(bk)
 
         slot = t0 + step
         cache_mask = cache_mask.at[:, slot].set(1)
@@ -242,16 +260,22 @@ def beam_generate(
             kv_caches=caches, cache_index=slot,
         )
         return (
-            logits_next[:, 0, :], caches, cache_mask, generated, finished, beam_scores
+            logits_next[:, 0, :], caches, cache_mask, generated, beam_scores,
+            best_done_score, best_done_seq,
         ), None
 
-    carry = (last_logits, caches, cache_mask, generated, finished, beam_scores)
+    carry = (last_logits, caches, cache_mask, generated, beam_scores,
+             best_done_score, best_done_seq)
     carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_new))
-    generated, beam_scores = carry[3], carry[5]
+    generated, beam_scores = carry[3], carry[4]
+    best_done_score, best_done_seq = carry[5], carry[6]
 
-    # pick best beam per batch row (length_penalty=1.0 → raw score)
-    best = jnp.argmax(beam_scores.reshape(b, k), axis=-1)
-    return generated.reshape(b, k, max_new)[jnp.arange(b), best]
+    # best of: finished pool vs best still-running beam (length_penalty 1.0)
+    run_best = jnp.argmax(beam_scores.reshape(b, k), axis=-1)
+    run_seq = generated.reshape(b, k, max_new)[jnp.arange(b), run_best]
+    run_score = jnp.max(beam_scores.reshape(b, k), axis=-1)
+    use_done = best_done_score >= run_score
+    return jnp.where(use_done[:, None], best_done_seq, run_seq)
 
 
 def generate(

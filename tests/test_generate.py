@@ -155,6 +155,49 @@ def test_beam_matches_hf_without_eos(ported):
     np.testing.assert_array_equal(ours, ref[:, :8])
 
 
+def test_beam_with_eos_matches_hf(ported):
+    """With eos, finished hypotheses retire to a pool while survivors keep
+    expanding (HF BeamSearchScorer semantics); the selected prefix must
+    match HF's (HF appends the eos token to its output; we emit pad)."""
+    tm, params, config = ported
+    rng = np.random.default_rng(8)
+    embeds = rng.normal(0, 0.02, (2, 4, 32)).astype(np.float32)
+    mask = np.ones((2, 4), dtype=np.int64)
+
+    # pick an eos that actually shows up: run a short no-eos beam first
+    probe = np.asarray(beam_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=6, num_beams=3, eos_token_id=-1, pad_token_id=0),
+    ))
+    eos = int(probe[0, 3])
+
+    with torch.no_grad():
+        ref = tm.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=10,
+            do_sample=False,
+            num_beams=3,
+            eos_token_id=eos,
+            pad_token_id=0,
+            length_penalty=1.0,
+            early_stopping=False,
+        ).numpy()
+
+    ours = np.asarray(beam_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=10, num_beams=3, eos_token_id=eos,
+                         pad_token_id=0),
+    ))
+
+    for row_ref, row_ours in zip(ref, ours):
+        ref_list = row_ref.tolist()
+        prefix = ref_list[: ref_list.index(eos)] if eos in ref_list else ref_list
+        assert row_ours.tolist()[: len(prefix)] == prefix, (row_ref, row_ours)
+        # positions after the finished prefix are pad
+        assert all(t == 0 for t in row_ours.tolist()[len(prefix) :]) or eos not in ref_list
+
+
 def test_eos_terminates_and_pads(ported):
     _, params, config = ported
     rng = np.random.default_rng(5)
