@@ -220,6 +220,47 @@ def test_nonfinite_loss_guard():
     np.testing.assert_array_equal(before, after)  # update was dropped
 
 
+def test_partial_adapter_checkpoint_restore(tmp_path):
+    """Adapter-only checkpoints restore against fresh encoder/decoder trees
+    (the reference's _keys_to_ignore_on_load_missing semantics,
+    modeling_aslm.py:100); exercised via build_model(from_pretrained_adapter)."""
+    import orbax.checkpoint as ocp
+
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(5))
+    adapter = jax.tree.map(lambda x: np.asarray(x) + 0.5, params["adapter"])
+
+    path = str(tmp_path / "adapter-ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(f"{path}/state", {"params": {"adapter": adapter}, "step": 7})
+    ckptr.wait_until_finished()
+
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir=str(tmp_path),
+    )
+    t = AATTrainer(model, params, cfg)
+    before_encoder = np.asarray(
+        t.state.params["audio_encoder"]["feature_projection"]["projection"]["kernel"]
+    )
+    t.restore_checkpoint(path, partial=True)
+    # adapter restored from checkpoint...
+    np.testing.assert_allclose(
+        np.asarray(t.state.params["adapter"]["audio_tokens_embeddings"]["embedding"]),
+        np.asarray(adapter["audio_tokens_embeddings"]["embedding"]),
+    )
+    # ...encoder untouched (fresh build), step taken from checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(
+            t.state.params["audio_encoder"]["feature_projection"]["projection"]["kernel"]
+        ),
+        before_encoder,
+    )
+    assert t.state.step == 7
+
+
 def test_caption_cross_entropy_masks_padding():
     rng = np.random.default_rng(0)
     vocab = 11
