@@ -21,6 +21,47 @@ from aat_tpu.training.trainer import AATTrainerSegmentation
 from aat_tpu.utils.timing import RecordTimings
 
 
+def test_whole_utterance_training_path(rng, tmp_path):
+    """segmentation='none' flow (reference AATTrainer +
+    NoSegmentationAudioWaveformCollator, trainer_train.py:74-84): whole
+    utterances through encode_audio with waveform masks."""
+    from aat_tpu.data.collate import NoSegmentationAudioWaveformCollator
+    from aat_tpu.training.trainer import AATTrainer
+
+    tokenizer = WordTokenizer()
+    collate = NoSegmentationAudioWaveformCollator(
+        tokenizer, add_prefix=True, noise_augmentation=True, seed=0
+    )
+    items = [make_item(np.random.default_rng(i), 0.8 + 0.2 * i) for i in range(2)]
+    batch = collate(items)
+    assert "waveforms" in batch
+
+    config = AslmConfig(
+        projection_type="linear",
+        audio_encoder_embeddings_seq_len=2,
+        audio_encoder_hidden=32, lm_hidden=32, projection_hidden=48,
+    )
+    model = AslmModel(config, hub.tiny_test_config(), llm.tiny_test_config())
+    params = model.init_params(jax.random.PRNGKey(4))
+    tcfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=6,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        train_lm_decoder=True, segmentation="none",
+        logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir=str(tmp_path),
+    )
+    trainer = AATTrainer(model, params, tcfg,
+                         compute_metrics=ComputeMetrics(tokenizer),
+                         tokenizer=tokenizer)
+    losses = [trainer.training_step([batch])["train/loss"] for _ in range(4)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    metrics = trainer.evaluate([batch])
+    assert np.isfinite(metrics["eval/loss"])
+    assert "wer" in metrics
+
+
 def test_on_device_datagen_training(rng, tmp_path):
     """North-star config 5: raw waveforms enter the jitted train step;
     segmentation + materialization + encoding + loss run with zero host
