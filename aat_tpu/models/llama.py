@@ -183,10 +183,13 @@ def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_i
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
+    from aat_tpu.ops.attention import MIN_PALLAS_SEQ_LEN
+
     if (
         config.attention_impl == "pallas"
         and kv_cache is None
         and key_padding_mask is not None
+        and t >= MIN_PALLAS_SEQ_LEN  # short-seq grid overhead: see ops.attention
     ):
         # fused flash path for prefill/training (q_len == kv_len, offset 0)
         from aat_tpu.ops.attention import flash_attention

@@ -151,9 +151,19 @@ def _bwd(causal, sm_scale, residuals, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
+MIN_PALLAS_SEQ_LEN = 256
+
+
 def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True):
-    """Dispatch: Pallas fused kernel or XLA fallback (same semantics)."""
-    if use_pallas:
+    """Dispatch: Pallas fused kernel or XLA fallback (same semantics).
+
+    The fused kernel iterates a (batch*heads, q-tiles) grid; at short
+    sequence lengths (segment encoding, T~12) the per-step overhead swamps
+    the tiny compute while XLA batches everything into one fused op — so the
+    kernel only engages at T >= MIN_PALLAS_SEQ_LEN (it measured 1.51x
+    end-to-end at T~1500).
+    """
+    if use_pallas and q.shape[-2] >= MIN_PALLAS_SEQ_LEN:
         return flash_attention(q, k, v, key_mask, causal, sm_scale)
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5

@@ -81,12 +81,16 @@ def main():
     _ = float(out[0][0])
     rtt = time.perf_counter() - t0
 
+    # best-of-3: the remote tunnel occasionally stalls for seconds; a single
+    # stall would otherwise poison the measurement
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = tokenize(dev_waveforms, dev_lengths)
-    _ = float(out[0][0])  # force completion of the whole launch queue
-    dt = (time.perf_counter() - t0 - rtt) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = tokenize(dev_waveforms, dev_lengths)
+        _ = float(out[0][0])  # force completion of the whole launch queue
+        dt = min(dt, (time.perf_counter() - t0 - rtt) / iters)
 
     audio_seconds = batch * seconds
     throughput = audio_seconds / dt  # audio-sec tokenized per wall-sec per chip

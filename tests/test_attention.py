@@ -44,10 +44,15 @@ def test_flash_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-def test_hubert_pallas_attention_matches_xla():
+def test_hubert_pallas_attention_matches_xla(monkeypatch):
     import dataclasses
 
+    import aat_tpu.ops.attention as attn_mod
     from aat_tpu.models import hubert as hub
+
+    # tiny test sequences are below the production threshold; force the
+    # kernel path so the integration is actually exercised
+    monkeypatch.setattr(attn_mod, "MIN_PALLAS_SEQ_LEN", 1)
 
     cfg = hub.tiny_test_config()
     params = hub.init_hubert_params(jax.random.PRNGKey(0), cfg)
@@ -64,10 +69,13 @@ def test_hubert_pallas_attention_matches_xla():
     assert diff.max() < 1e-4
 
 
-def test_llama_pallas_attention_matches_xla():
+def test_llama_pallas_attention_matches_xla(monkeypatch):
     import dataclasses
 
+    import aat_tpu.ops.attention as attn_mod
     from aat_tpu.models import llama as llm
+
+    monkeypatch.setattr(attn_mod, "MIN_PALLAS_SEQ_LEN", 1)
 
     cfg = llm.tiny_test_config()
     params = llm.init_llama_params(jax.random.PRNGKey(0), cfg)
