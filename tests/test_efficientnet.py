@@ -40,6 +40,53 @@ def test_adapter_melspec_contract(params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
+def test_efficientnet_eval_with_generation():
+    """Eval + beam generation through the melspec branch (reference
+    efficient_net eval path)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from tests.test_collate import WordTokenizer
+
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.metrics import ComputeMetrics
+    from aat_tpu.training.trainer import AATTrainerSegmentation
+
+    tokenizer = WordTokenizer()
+    config = AslmConfig(projection_type="mean", audio_encoder_hidden=1280, lm_hidden=32)
+    model = AslmModel(config, EfficientNetConfig(), llm.tiny_test_config(),
+                      audio_encoder_type="efficient_net")
+    trainer = AATTrainerSegmentation(
+        model, model.init_params(jax.random.PRNGKey(1)),
+        TrainingConfig(
+            learning_rate=1e-3, warmup_steps=2, max_steps=5,
+            gradient_accumulation_steps=1, compute_dtype="float32",
+            audio_encoder_type="efficient_net", train_audio_encoder=False,
+            train_lm_decoder=True, logging_steps=1000, eval_steps=0, save_steps=0,
+            output_dir="/tmp/aat_tpu_effnet_eval",
+        ),
+        compute_metrics=ComputeMetrics(tokenizer), tokenizer=tokenizer,
+    )
+    rng = np.random.default_rng(1)
+    bs, s = 2, 2
+    text = tokenizer(["<s> alpha beta </s>", "<s> gamma delta </s>"], padding=True)
+    prefix = tokenizer(["<s>", "<s>"], padding=True)
+    batch = {
+        "batched_segments_melspectrograms": rng.normal(0, 1, (bs, s, 64, 26)).astype(np.float32),
+        "segments_boarders_attention_mask": np.ones((bs, s), np.int32),
+        "input_ids": text["input_ids"],
+        "attention_mask": text["attention_mask"],
+        "input_ids_attention_mask": text["attention_mask"],
+        "prefix_input_ids": prefix["input_ids"],
+        "prefix_attention_mask": prefix["attention_mask"],
+    }
+    metrics = trainer.evaluate([batch])
+    assert np.isfinite(metrics["eval/loss"])
+    assert "wer" in metrics
+
+
 def test_efficientnet_training_step():
     from aat_tpu.models import llama as llm
     from aat_tpu.models.aslm import AslmConfig, AslmModel, PoolingConfig
