@@ -187,10 +187,23 @@ class AATTrainer:
             "segments_boarders_attention_mask": table["segment_mask"].astype(jnp.int32),
         }
 
+    def _stop_grad_frozen(self, params):
+        """Reference no_grad semantics for frozen submodules
+        (trainer.py:118-125, trainer_train.py:258-262): stop_gradient makes
+        XLA skip the frozen subtrees' parameter-gradient computation
+        entirely (activation gradients still flow through them); the
+        optimizer freeze mask remains the correctness guard."""
+        p = dict(params)
+        if not self.config.train_audio_encoder:
+            p["audio_encoder"] = jax.lax.stop_gradient(params["audio_encoder"])
+        if not self.config.train_lm_decoder:
+            p["lm_decoder"] = jax.lax.stop_gradient(params["lm_decoder"])
+        return p
+
     def _assemble_and_forward(self, params, batch):
         model = self.model
         compute_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        params = self._cast_for_compute(params)
+        params = self._cast_for_compute(self._stop_grad_frozen(params))
 
         if "raw_waveforms" in batch:
             batch = self._segment_on_device(batch)
@@ -402,6 +415,9 @@ class AATTrainer:
             self.state.step, self.state.params, self.tx.init(self.state.params)
         )
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
+        # the grad step closed over the old freeze config (stop_gradient on
+        # the lm subtree); re-trace so decoder grads flow
+        self._grad_step = jax.jit(self._make_grad_step())
         logger.info("lm decoder unfrozen at step %d", self.state.step)
 
     def train(
