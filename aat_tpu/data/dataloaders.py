@@ -103,11 +103,14 @@ class BatchIterator:
         sentinel = object()
 
         def worker():
+            # collate errors must surface in the consumer — a swallowed
+            # exception here would silently truncate the epoch
             try:
                 for chunk in batches:
                     q.put(self._collate(chunk))
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                q.put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -115,6 +118,8 @@ class BatchIterator:
             batch = q.get()
             if batch is sentinel:
                 break
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
 
 

@@ -120,3 +120,35 @@ def adafactor(
 
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
+
+
+def merge_matching_state(old_state, new_state):
+    """Carry optimizer-state leaves from ``old_state`` into ``new_state``
+    wherever path, shape and dtype match.
+
+    Used when the optimizer is rebuilt mid-run (e.g. unfreezing the LM
+    decoder): previously-trainable subtrees keep their accumulated Adam
+    moments; newly trainable leaves (absent from the old state — they were
+    ``MaskedNode``s) start fresh. Matches the reference behavior where HF
+    Trainer's torch optimizer keeps per-param state across a
+    requires_grad flip and only lazily creates state for new params.
+    (Shared scalars such as Adam's step count are carried over too, so the
+    new group's bias correction starts at the current step rather than 0 —
+    a deliberate simplification over torch's per-param step.)
+    """
+    old_leaves = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(old_state)[0]
+    }
+
+    def pick(path, new_leaf):
+        old = old_leaves.get(jax.tree_util.keystr(path))
+        if (
+            old is not None
+            and getattr(old, "shape", None) == getattr(new_leaf, "shape", None)
+            and getattr(old, "dtype", None) == getattr(new_leaf, "dtype", None)
+        ):
+            return old
+        return new_leaf
+
+    return jax.tree_util.tree_map_with_path(pick, new_state)

@@ -104,17 +104,7 @@ class AATTrainer:
             train_audio_encoder=config.train_audio_encoder,
             train_lm_decoder=config.train_lm_decoder,
         )
-        if config.optimizer == "adamw":
-            self.tx = optim_lib.adamw_grouped(
-                self.schedule, params,
-                weight_decay=config.weight_decay,
-                grad_clip_norm=config.grad_clip_norm,
-                freeze=self.freeze,
-            )
-        elif config.optimizer == "adafactor":
-            self.tx = optim_lib.adafactor(self.schedule, freeze=self.freeze)
-        else:
-            raise ValueError(f"unknown optimizer {config.optimizer}")
+        self.tx = self._build_tx(params)
 
         params = mesh_lib.place_params(params, self.mesh)
         self.state = TrainState(0, params, self.tx.init(params))
@@ -122,6 +112,27 @@ class AATTrainer:
         self._grad_step = jax.jit(self._make_grad_step())
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._make_eval_step())
+
+    def _build_tx(self, params):
+        cfg = self.config
+        if cfg.optimizer == "adamw":
+            tx = optim_lib.adamw_grouped(
+                self.schedule, params,
+                weight_decay=cfg.weight_decay,
+                grad_clip_norm=cfg.grad_clip_norm,
+                freeze=self.freeze,
+            )
+        elif cfg.optimizer == "adafactor":
+            tx = optim_lib.adafactor(self.schedule, freeze=self.freeze)
+        else:
+            raise ValueError(f"unknown optimizer {cfg.optimizer}")
+        if cfg.skip_nonfinite_updates:
+            # in-graph guard: a non-finite grad tree produces a zero update
+            # and leaves inner optimizer state untouched — every step is
+            # protected without a host fetch (the old host-side check only
+            # covered logging steps)
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=1_000_000)
+        return tx
 
     # ------------------------------------------------------------------
     # Forward assembly (segmented + whole-utterance), shared by train/eval
@@ -348,7 +359,8 @@ class AATTrainer:
         """One optimizer step over ``gradient_accumulation_steps``
         microbatches. Returns host metrics when ``fetch_metrics`` (a device
         sync — pass False on non-logging steps to keep the device pipeline
-        full; the non-finite guard is then skipped for that step too)."""
+        full). Non-finite grads are dropped in-graph on EVERY step via
+        ``optax.apply_if_finite`` (when ``skip_nonfinite_updates``)."""
         acc_grads = None
         acc_metrics = None
         for mb in microbatches:
@@ -363,57 +375,45 @@ class AATTrainer:
         if n > 1:
             acc_grads = jax.tree.map(lambda g: g / n, acc_grads)
             acc_metrics = jax.tree.map(lambda m: m / n, acc_metrics)
-        if not fetch_metrics:
-            new_params, new_opt = self._apply_step(
-                self.state.params, self.state.opt_state, acc_grads
-            )
-            self.state = TrainState(self.state.step + 1, new_params, new_opt)
-            return {}
-        # one bulk transfer: per-scalar fetches each pay a full round-trip
-        # on remoted backends
-        host_metrics = {k: float(v) for k, v in jax.device_get(acc_metrics).items()}
-        if self.config.skip_nonfinite_updates and not np.isfinite(
-            host_metrics["train/loss"]
-        ):
-            # failure containment: drop the update, keep training
-            logger.warning(
-                "non-finite loss %s at step %d; skipping update",
-                host_metrics["train/loss"], self.state.step,
-            )
-            host_metrics["train/skipped_nonfinite"] = 1.0
-            self.state = TrainState(
-                self.state.step + 1, self.state.params, self.state.opt_state
-            )
-            return host_metrics
         new_params, new_opt = self._apply_step(
             self.state.params, self.state.opt_state, acc_grads
         )
         self.state = TrainState(self.state.step + 1, new_params, new_opt)
+        if not fetch_metrics:
+            return {}
+        # one bulk transfer: per-scalar fetches each pay a full round-trip
+        # on remoted backends
+        host_metrics = {k: float(v) for k, v in jax.device_get(acc_metrics).items()}
+        if self.config.skip_nonfinite_updates:
+            host_metrics["train/skipped_nonfinite_total"] = float(
+                jax.device_get(self.state.opt_state.total_notfinite)
+            )
+            if not np.isfinite(host_metrics["train/loss"]):
+                logger.warning(
+                    "non-finite loss %s at step %d (update dropped in-graph)",
+                    host_metrics["train/loss"], self.state.step,
+                )
         return host_metrics
 
     def unfreeze_lm_decoder(self):
         """Enable LM decoder training mid-run (reference
         ``unfreeze_lm_at_epoch``, src/aat/training/config.py:44). Rebuilds
-        the freeze mask and re-initializes optimizer state for the newly
-        trainable subtree."""
+        the freeze mask, initializes optimizer state for the newly trainable
+        subtree, and carries over accumulated moments for everything that was
+        already training (torch optimizers keep per-param state across a
+        requires_grad flip; re-initializing would silently reset Adam
+        moments mid-run)."""
         self.config.train_lm_decoder = True
         self.freeze = optim_lib.trainable_mask(
             self.state.params,
             train_audio_encoder=self.config.train_audio_encoder,
             train_lm_decoder=True,
         )
-        if self.config.optimizer == "adamw":
-            self.tx = optim_lib.adamw_grouped(
-                self.schedule, self.state.params,
-                weight_decay=self.config.weight_decay,
-                grad_clip_norm=self.config.grad_clip_norm,
-                freeze=self.freeze,
-            )
-        else:
-            self.tx = optim_lib.adafactor(self.schedule, freeze=self.freeze)
-        self.state = TrainState(
-            self.state.step, self.state.params, self.tx.init(self.state.params)
-        )
+        old_opt_state = self.state.opt_state
+        self.tx = self._build_tx(self.state.params)
+        fresh = self.tx.init(self.state.params)
+        merged = optim_lib.merge_matching_state(old_opt_state, fresh)
+        self.state = TrainState(self.state.step, self.state.params, merged)
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
         # the grad step closed over the old freeze config (stop_gradient on
         # the lm subtree); re-trace so decoder grads flow
@@ -545,6 +545,17 @@ class AATTrainer:
                 references.append(np.asarray(batch["input_ids"]))
                 prefixes.append(np.asarray(batch["prefix_input_ids"]))
         metrics = {"eval/loss": float(np.mean(losses)) if losses else float("nan")}
+        if jax.process_count() > 1:
+            # global eval/loss: every host contributes its (sum, count); the
+            # reference inherits this reduction from accelerate's
+            # gather_for_metrics (trainer.py:365-383,425)
+            from jax.experimental.multihost_utils import process_allgather
+
+            sums = process_allgather(
+                np.array([np.sum(losses), len(losses)], np.float64)
+            )
+            total, count = float(sums[:, 0].sum()), float(sums[:, 1].sum())
+            metrics["eval/loss"] = total / count if count else float("nan")
         if self.compute_metrics is not None and references:
             def pad_cat(arrays, pad=0):
                 width = max(a.shape[1] for a in arrays)
@@ -556,13 +567,30 @@ class AATTrainer:
             gen, refs, prefs = pad_cat(generated), pad_cat(references), pad_cat(prefixes)
             if jax.process_count() > 1:
                 # multihost eval: gather every host's generations before
-                # scoring (the accelerate gather_for_metrics equivalent,
-                # reference trainer.py:365-383,425)
+                # scoring. Hosts can hold different batch counts and pad to
+                # different widths, so gather the per-host shapes first, pad
+                # everything to the global max, and strip the filler rows
+                # after the gather (allgather needs identical shapes).
                 from jax.experimental.multihost_utils import process_allgather
 
-                gen = process_allgather(gen).reshape(-1, gen.shape[-1])
-                refs = process_allgather(refs).reshape(-1, refs.shape[-1])
-                prefs = process_allgather(prefs).reshape(-1, prefs.shape[-1])
+                def gather_ragged(a, pad=0):
+                    shapes = process_allgather(np.asarray(a.shape))  # [P, 2]
+                    rows = int(shapes[:, 0].max())
+                    width = int(shapes[:, 1].max())
+                    padded = np.pad(
+                        a,
+                        ((0, rows - a.shape[0]), (0, width - a.shape[1])),
+                        constant_values=pad,
+                    )
+                    gathered = process_allgather(padded)  # [P, rows, width]
+                    return np.concatenate([
+                        gathered[p, : int(shapes[p, 0])]
+                        for p in range(gathered.shape[0])
+                    ])
+
+                gen, refs, prefs = (
+                    gather_ragged(gen), gather_ragged(refs), gather_ragged(prefs)
+                )
             metrics.update(self.compute_metrics(
                 generated_ids=gen, inputs_ids=refs, prefix_ids=prefs,
             ))

@@ -36,6 +36,22 @@ def test_batch_iterator_prefetch_thread():
     np.testing.assert_array_equal(batches[0]["ids"], [0, 1])
 
 
+def test_batch_iterator_prefetch_propagates_errors():
+    """A collate error in the prefetch worker must surface in the consumer,
+    not silently truncate the epoch."""
+    import pytest
+
+    def bad_collate(items):
+        if 4 in items:
+            raise ValueError("poisoned item")
+        return {"ids": np.asarray(items)}
+
+    it = BatchIterator(list(range(8)), bad_collate, batch_size=2,
+                       shuffle=False, drop_last=False, prefetch=2)
+    with pytest.raises(ValueError, match="poisoned item"):
+        list(it)
+
+
 def test_build_dataloaders_few_samples():
     train, val = build_dataloaders(
         list(range(100)), list(range(50)), collate_ids,

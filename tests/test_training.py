@@ -214,10 +214,57 @@ def test_nonfinite_loss_guard():
     t = AATTrainer(model, params, cfg)
     before = np.asarray(t.state.params["adapter"]["projection"]["out"]["kernel"])
     rng = np.random.default_rng(3)
+    # non-logging step (no host fetch): the in-graph guard must still hold —
+    # the old host-side check only covered logging steps (24/25 duty-cycle hole)
+    m = t.training_step([make_segmented_batch(rng)], fetch_metrics=False)
+    assert m == {}
+    mid = np.asarray(t.state.params["adapter"]["projection"]["out"]["kernel"])
+    np.testing.assert_array_equal(before, mid)
     m = t.training_step([make_segmented_batch(rng)])
-    assert m.get("train/skipped_nonfinite") == 1.0
+    assert m["train/skipped_nonfinite_total"] == 2.0
     after = np.asarray(t.state.params["adapter"]["projection"]["out"]["kernel"])
     np.testing.assert_array_equal(before, after)  # update was dropped
+
+
+def test_unfreeze_preserves_optimizer_moments(tmp_path):
+    """unfreeze_lm_decoder must carry over accumulated Adam moments for the
+    already-training subtrees (torch optimizers keep per-param state across a
+    requires_grad flip) and add fresh state for the decoder."""
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(11))
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=1, max_steps=100,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        train_audio_encoder=True, train_lm_decoder=False,
+        logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir=str(tmp_path),
+    )
+    t = AATTrainer(model, params, cfg)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        t.training_step([make_segmented_batch(rng)], fetch_metrics=False)
+
+    def flat(state):
+        return {
+            jax.tree_util.keystr(p): np.asarray(leaf)
+            for p, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+            if hasattr(leaf, "shape")
+        }
+
+    old = flat(t.state.opt_state)
+    assert any("adapter" in k and "mu" in k for k in old)
+    t.unfreeze_lm_decoder()
+    new = flat(t.state.opt_state)
+    # every pre-unfreeze state leaf survives bit-identically
+    for k, v in old.items():
+        assert k in new, f"opt-state leaf vanished: {k}"
+        np.testing.assert_array_equal(v, new[k], err_msg=k)
+    # ...and the decoder now has (fresh) moment state
+    added = [k for k in new if k not in old]
+    assert any("lm_decoder" in k for k in added)
+    # training still works after the merge
+    m = t.training_step([make_segmented_batch(rng)])
+    assert np.isfinite(m["train/loss"])
 
 
 def test_partial_adapter_checkpoint_restore(tmp_path):
