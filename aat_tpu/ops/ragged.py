@@ -23,9 +23,16 @@ def windowed_gather(
     """Gather fixed-length contiguous windows whose starts are multiples of
     ``block``: ``x [B, L]``, ``starts [B, S]`` → ``[B, S, length]``.
 
+    PRECONDITION: every start must be a multiple of ``block`` — the caller
+    must guarantee this *by construction* (e.g. uniform segmentation, whose
+    starts are multiples of max_segment_frames). A misaligned start is
+    silently floor-rounded to the block boundary. For arbitrary starts use
+    :func:`gather_slices`.
+
     A scalar gather of B*S*length elements is element-wise on TPU (measured
-    ~85M elem/s on v5e); regrouping into [L/block, block] rows turns it into
-    a row gather with `block`-wide contiguous reads — ~block× fewer indices.
+    ~0.14G elem/s on v5e); regrouping into [L/block, block] rows turns it
+    into a row gather with `block`-wide contiguous reads — measured
+    ~205G elem/s at [8, 480000] × [8, 64] × 4000.
     """
     b, l = x.shape
     s = starts.shape[1]
@@ -40,6 +47,27 @@ def windowed_gather(
     # jnp.take over rows → one gather with slice_sizes (1, block)
     gathered = jnp.take(rows, global_idx, axis=0, mode="clip")
     return gathered.reshape(b, s, length)
+
+
+def gather_slices(x: jnp.ndarray, starts: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Gather fixed-length contiguous windows at ARBITRARY starts:
+    ``x [B, L]``, ``starts [B, S]`` → ``[B, S, length]``.
+
+    Lowered as a batched ``dynamic_slice`` (one gather of ``length``-wide
+    contiguous slices) — measured ~3.7G elem/s on v5e at
+    [8, 480000] × [8, 64] × 4000, ~27× the per-element gather. The source is
+    right-padded with ``length`` zeros so XLA's dynamic-slice clamping never
+    shifts a window that extends past the row end (clamping would corrupt
+    the *valid* prefix, not just the masked tail).
+    """
+    x = jnp.pad(x, ((0, 0), (0, length)))
+
+    def one(row, s):
+        return jax.lax.dynamic_slice(row, (s,), (length,))
+
+    return jax.vmap(lambda row, ss: jax.vmap(lambda s: one(row, s))(ss))(
+        x, jnp.clip(starts, 0)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_frames", "start_granularity"))
@@ -70,15 +98,18 @@ def materialize_segments(
             prefix of valid segments (zero-padded tail counts as data, like
             the reference's explicit zero padding).
 
-    Implementation notes: per-element TPU gathers run at ~85M elem/s, far
-    too slow for ~50M-element materializations; segment starts are always
-    multiples of ``gcd(hop, min/max segment frames)`` (40 for the reference
-    defaults — minima sit on hop=160 boundaries, split offsets on
-    max-frame multiples, min-shifts on min-frame multiples), so the windows
-    are fetched as ``start_granularity``-wide row gathers instead
-    (:func:`windowed_gather`). A DMA-per-segment Pallas kernel was tried
-    and rejected: Mosaic cannot slice HBM memrefs at arbitrary sample
-    offsets.
+    Implementation notes: per-element TPU gathers run at ~0.14G elem/s, far
+    too slow for ~50M-element materializations. When the caller GUARANTEES
+    every start is a multiple of ``start_granularity`` (uniform
+    segmentation: starts are multiples of max_segment_frames), the windows
+    are fetched as block row-gathers (:func:`windowed_gather`, ~205G
+    elem/s). Otherwise a batched dynamic-slice (:func:`gather_slices`,
+    ~3.7G elem/s) handles arbitrary starts — adaptive segmentation emits
+    one misaligned start per utterance whose final span triggers the
+    min-shift rule (start = waveform_length - min_frames, and lengths are
+    arbitrary mod 40), so it must NOT claim a granularity. A
+    DMA-per-segment Pallas kernel was tried and rejected: Mosaic cannot
+    slice HBM memrefs at arbitrary sample offsets.
     """
     b, l = waveforms.shape
     _, s = starts.shape
@@ -88,10 +119,7 @@ def materialize_segments(
     if block > 1 and max_frames % block == 0 and l % block == 0:
         gathered = windowed_gather(waveforms, starts, max_frames, block)
     else:
-        idx = jnp.clip(starts[..., None] + f[None, None, :], 0, l - 1)
-        gathered = jnp.take_along_axis(
-            waveforms[:, None, :], idx.reshape(b, 1, -1), axis=-1
-        ).reshape(b, s, max_frames)
+        gathered = gather_slices(waveforms, starts, max_frames)
     segments = jnp.where(in_data, gathered, 0.0)
     frame_mask = (f[None, None, :] < out_lens[..., None]) & segment_mask[..., None]
     return segments, frame_mask

@@ -70,10 +70,16 @@ class TokenizerConfig:
 
     @property
     def start_granularity(self) -> int:
-        """All emitted segment starts are multiples of this (minima sit on
-        hop boundaries; split/shift arithmetic stays in the subgroup
-        generated by hop and the min/max segment frames). Lets the dense
-        materialization use block row-gathers instead of per-element ones."""
+        """gcd of hop and the min/max segment frames (40 at defaults).
+
+        Most adaptive starts are multiples of this (minima sit on hop
+        boundaries; split offsets on max-frame multiples) — but NOT all: a
+        final span ending at the waveform end can trigger the min-shift
+        split rule, making its last start ``length - min_frames`` with
+        ``length`` arbitrary mod 40. Only uniform segmentation (starts =
+        i * max_segment_frames) may use this to enable block row-gathers in
+        the dense materialization; adaptive must use the arbitrary-start
+        path (ops.ragged.gather_slices)."""
         import math
 
         return math.gcd(

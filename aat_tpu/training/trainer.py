@@ -183,13 +183,19 @@ class AATTrainer:
 
         # processor normalization for segment content (eps 1e-7, :301)
         proc_norm = jnp.where(valid, (waveforms - mean) * jax.lax.rsqrt(var + 1e-7), 0)
+        # block row-gathers need starts aligned BY CONSTRUCTION: uniform
+        # starts are multiples of max_segment_frames, but adaptive emits a
+        # misaligned start whenever the final span triggers the min-shift
+        # rule (start = length - min_frames, lengths arbitrary mod 40) —
+        # adaptive therefore uses the arbitrary-start dynamic-slice path.
+        aligned = (
+            self.config.segmentation == "uniform"
+            and proc_norm.shape[-1] % tok_cfg.start_granularity == 0
+        )
         segments, frame_mask = materialize_segments(
             proc_norm, table["starts"], table["ends"], table["out_lens"],
             table["segment_mask"], tok_cfg.max_segment_frames,
-            start_granularity=(
-                tok_cfg.start_granularity
-                if proc_norm.shape[-1] % tok_cfg.start_granularity == 0 else 1
-            ),
+            start_granularity=tok_cfg.start_granularity if aligned else 1,
         )
         return {
             **batch,

@@ -41,6 +41,46 @@ def test_materialize_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(msk), ref_msk)
 
 
+def test_gather_slices_arbitrary_starts(rng):
+    """Unaligned starts, including windows that extend past the row end —
+    the batched dynamic-slice must not shift the valid prefix."""
+    from aat_tpu.ops.ragged import gather_slices
+
+    b, l, s, length = 3, 1000, 6, 256
+    x = rng.normal(0, 1, (b, l)).astype(np.float32)
+    starts = rng.integers(0, l - 1, (b, s)).astype(np.int32)
+    starts[0, 0] = l - 17   # window extends 239 past the end
+    starts[1, 0] = 0
+    out = np.asarray(gather_slices(jnp.asarray(x), jnp.asarray(starts), length))
+    for i in range(b):
+        for j in range(s):
+            st = starts[i, j]
+            n = min(length, l - st)
+            np.testing.assert_array_equal(out[i, j, :n], x[i, st : st + n])
+            np.testing.assert_array_equal(out[i, j, n:], 0.0)
+
+
+def test_materialize_unaligned_final_span_start(rng):
+    """The adaptive min-shift rule emits start = length - min_frames with
+    arbitrary alignment; materialization at start_granularity=1 must fetch
+    the exact samples (regression: the block path floor-rounded starts)."""
+    b, l, max_frames = 2, 4037, 512  # l deliberately not a multiple of 40
+    waveforms = rng.normal(0, 1, (b, l)).astype(np.float32)
+    min_f = 300
+    starts = np.array([[160, l - min_f], [320, l - min_f]], np.int32)
+    ends = np.array([[660, l], [820, l]], np.int32)
+    out_lens = ends - starts
+    mask = np.ones((b, 2), bool)
+    segs, msk = materialize_segments(
+        jnp.asarray(waveforms), jnp.asarray(starts), jnp.asarray(ends),
+        jnp.asarray(out_lens), jnp.asarray(mask), max_frames,
+        start_granularity=1,
+    )
+    ref_segs, ref_msk = oracle(waveforms, starts, ends, out_lens, mask, max_frames)
+    np.testing.assert_array_equal(np.asarray(segs), ref_segs)
+    np.testing.assert_array_equal(np.asarray(msk), ref_msk)
+
+
 def test_masked_mean():
     x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
     mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]])
