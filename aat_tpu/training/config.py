@@ -34,6 +34,10 @@ class TrainingConfig:
     save_total_limit: int = 2
     logging_steps: int = 25
     optimizer: str = "adamw"  # adamw | adafactor
+    # reference trainer.py:63: load_best_model_at_end=True on eval loss
+    load_best_model_at_end: bool = True
+    metric_for_best_model: str = "eval/loss"
+    greater_is_better: bool = False
 
     # model / freezing (reference trainer.py:71-83)
     segmentation: str = "none"  # none | uniform | adaptive

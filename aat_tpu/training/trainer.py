@@ -108,6 +108,9 @@ class AATTrainer:
 
         params = mesh_lib.place_params(params, self.mesh)
         self.state = TrainState(0, params, self.tx.init(params))
+        # load_best_model_at_end bookkeeping (reference trainer.py:63)
+        self._best_metric: Optional[float] = None
+        self._best_checkpoint: Optional[str] = None
 
         self._grad_step = jax.jit(self._make_grad_step())
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
@@ -433,8 +436,17 @@ class AATTrainer:
         resume_from_checkpoint: Optional[str] = None,
     ):
         cfg = self.config
+        skip_micro = 0
         if resume_from_checkpoint:
             self.restore_checkpoint(resume_from_checkpoint)
+            # fast-forward past already-consumed microbatches so the resumed
+            # run sees the data a fresh run would at this step (HF Trainer's
+            # ignore_data_skip=False semantics). Only the within-epoch
+            # position is recoverable from step alone.
+            consumed = self.state.step * cfg.gradient_accumulation_steps
+            if hasattr(train_batches, "__len__") and len(train_batches) > 0:
+                skip_micro = consumed % len(train_batches)
+            logger.info("resume: skipping %d microbatches", skip_micro)
         early_stopping = (
             EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_threshold)
             if cfg.early_stopping_patience
@@ -442,8 +454,12 @@ class AATTrainer:
         )
 
         micro: List[dict] = []
+        last_eval_metric: Optional[float] = None
         t_start = time.time()
         for batch in train_batches:
+            if skip_micro > 0:
+                skip_micro -= 1
+                continue
             micro.append(batch)
             if len(micro) < cfg.gradient_accumulation_steps:
                 continue
@@ -459,14 +475,45 @@ class AATTrainer:
             if cfg.eval_steps and step % cfg.eval_steps == 0 and eval_batches is not None:
                 eval_metrics = self.evaluate(eval_batches())
                 self.log_fn(eval_metrics)
+                last_eval_metric = eval_metrics.get(cfg.metric_for_best_model)
                 if early_stopping is not None and early_stopping.should_stop(eval_metrics):
                     logger.info("early stopping at step %d", step)
                     break
             if cfg.save_steps and step % cfg.save_steps == 0:
-                self.save_checkpoint()
+                path = self.save_checkpoint(metric=last_eval_metric)
+                self._track_best(path, last_eval_metric)
             if cfg.max_steps is not None and step >= cfg.max_steps:
                 break
         return self.state
+
+    def _track_best(self, path: str, metric: Optional[float]):
+        if metric is None:
+            return
+        better = self._best_metric is None or (
+            metric > self._best_metric
+            if self.config.greater_is_better
+            else metric < self._best_metric
+        )
+        if better:
+            self._best_metric = metric
+            self._best_checkpoint = path
+
+    def finalize(self):
+        """End-of-training hook: reload the best checkpoint's params when
+        ``load_best_model_at_end`` (reference trainer.py:63). Called by the
+        entry point after the last epoch (``train()`` runs one epoch and
+        must not reload mid-run). The current step is kept — only the model
+        weights roll back, matching HF semantics."""
+        if not (self.config.load_best_model_at_end and self._best_checkpoint):
+            return
+        step = self.state.step
+        logger.info(
+            "loading best model (%s=%s) from %s",
+            self.config.metric_for_best_model, self._best_metric,
+            self._best_checkpoint,
+        )
+        self.restore_checkpoint(self._best_checkpoint)
+        self.state = TrainState(step, self.state.params, self.state.opt_state)
 
     def _prefix_inputs(self, params, batch):
         """Assemble [audio | prefix-text] embeds for generation (reference
@@ -610,7 +657,15 @@ class AATTrainer:
         step = self.state.step if step is None else step
         return os.path.join(self.config.output_dir, f"checkpoint-{step}")
 
-    def save_checkpoint(self, path: Optional[str] = None):
+    def save_checkpoint(self, path: Optional[str] = None,
+                        metric: Optional[float] = None):
+        """Full-fidelity checkpoint: params + optimizer state + step (the
+        schedule is a pure function of step). The reference inherits this
+        from HF Trainer (save_steps / resume_from_checkpoint,
+        src/aat/training/trainer.py:58-64). ``metric`` records the latest
+        eval metric for load_best_model_at_end bookkeeping."""
+        import json
+
         import orbax.checkpoint as ocp
 
         path = path or self._ckpt_dir()
@@ -618,48 +673,134 @@ class AATTrainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(
             os.path.join(path, "state"),
-            {"params": self.state.params, "step": self.state.step},
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            },
             force=True,
         )
         ckptr.wait_until_finished()
+        if metric is not None:
+            with open(os.path.join(path, "trainer_meta.json"), "w") as f:
+                json.dump({self.config.metric_for_best_model: metric}, f)
         self._prune_checkpoints()
         logger.info("saved checkpoint %s", path)
+        return path
+
+    def save_pretrained(self, path: str):
+        """Adapter/model export filtered by the train flags — frozen
+        submodules are omitted, exactly like the reference's filtered
+        ``save_pretrained`` (modeling_aslm.py:387-393): the adapter
+        (projection + audio BOS/EOS embeddings) always saves; the audio
+        encoder / LM decoder only when they were being trained. Restores
+        via ``restore_checkpoint(partial=True)`` against freshly built
+        frozen trees (``_keys_to_ignore_on_load_missing`` semantics)."""
+        import orbax.checkpoint as ocp
+
+        keep = {"adapter": self.state.params["adapter"]}
+        if self.config.train_audio_encoder:
+            keep["audio_encoder"] = self.state.params["audio_encoder"]
+        if self.config.train_lm_decoder:
+            keep["lm_decoder"] = self.state.params["lm_decoder"]
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.join(path, "state"),
+            {"params": keep, "step": self.state.step},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        logger.info("saved filtered model (%s) to %s", sorted(keep), path)
+        return path
 
     def _prune_checkpoints(self):
-        """save_total_limit parity (reference trainer.py:61)."""
+        """save_total_limit parity (reference trainer.py:61); the best
+        checkpoint is never pruned (HF protects it for
+        load_best_model_at_end)."""
         limit = self.config.save_total_limit
         base = self.config.output_dir
         if not limit or not os.path.isdir(base):
             return
+        protected = (
+            os.path.basename(self._best_checkpoint) if self._best_checkpoint else None
+        )
         ckpts = sorted(
-            (d for d in os.listdir(base) if d.startswith("checkpoint-")),
+            (d for d in os.listdir(base)
+             if d.startswith("checkpoint-") and d != protected),
             key=lambda d: int(d.split("-")[-1]),
         )
         for stale in ckpts[:-limit]:
             shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
 
-    def restore_checkpoint(self, path: str, partial: bool = True):
-        """Restore params (+step). ``partial=True`` mirrors
-        ``_keys_to_ignore_on_load_missing``: a checkpoint holding only the
-        adapter restores against freshly built encoder/decoder trees."""
+    def restore_checkpoint(self, path: str, partial: bool = True,
+                           restore_opt_state: bool = True):
+        """Restore params + optimizer state + step. Falls back to
+        params-only checkpoints (optimizer state re-initialized, loudly),
+        then to adapter-only checkpoints (``partial=True`` mirrors
+        ``_keys_to_ignore_on_load_missing``: restores against freshly built
+        encoder/decoder trees)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        template = {"params": self.state.params, "step": self.state.step}
-        try:
-            restored = ckptr.restore(os.path.join(path, "state"), target=template)
-        except Exception:
-            if not partial:
-                raise
-            # partial restore: adapter-only checkpoints
-            template = {"params": {"adapter": self.state.params["adapter"]}, "step": 0}
-            restored = ckptr.restore(os.path.join(path, "state"), target=template)
+        state_path = os.path.join(path, "state")
+        opt_state = None
+        restored = None
+        if restore_opt_state:
+            # exact-template fast path: full-fidelity checkpoints restore
+            # params + optimizer state with their current shardings/dtypes
+            template = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }
+            try:
+                restored = ckptr.restore(state_path, target=template)
+                opt_state = restored["opt_state"]
+            except Exception:
+                restored = None
+        if restored is None:
+            # structure-agnostic path: target-free restore returns whatever
+            # subtree was saved (params-only, adapter-only, filtered
+            # save_pretrained exports, or a run with different freeze flags
+            # whose opt_state no longer matches). Present params merge into
+            # the current tree; optimizer state re-initializes.
+            raw = ckptr.restore(state_path)
+            saved_params = raw.get("params", {})
+            missing = set(self.state.params) - set(saved_params)
+            if missing:
+                if not partial:
+                    raise ValueError(
+                        f"checkpoint {path} lacks {sorted(missing)} and "
+                        "partial restore is disabled"
+                    )
+                logger.info(
+                    "partial restore: %s kept from the fresh build "
+                    "(_keys_to_ignore_on_load_missing semantics)",
+                    sorted(missing),
+                )
             merged = dict(self.state.params)
-            merged["adapter"] = restored["params"]["adapter"]
-            restored = {"params": merged, "step": restored["step"]}
+            for key, subtree in saved_params.items():
+                if key not in merged:
+                    raise ValueError(
+                        f"checkpoint {path} has unknown param subtree {key!r}"
+                    )
+                merged[key] = jax.tree.map(
+                    lambda saved, cur: np.asarray(saved).astype(cur.dtype),
+                    subtree, merged[key],
+                )
+            if restore_opt_state:
+                logger.warning(
+                    "checkpoint %s: optimizer state not restorable; "
+                    "re-initializing (Adam moments reset)", path,
+                )
+            restored = {"params": merged, "step": raw.get("step", 0)}
         params = mesh_lib.place_params(restored["params"], self.mesh)
-        self.state = TrainState(int(restored["step"]), params, self.tx.init(params))
+        self.state = TrainState(
+            int(restored["step"]), params,
+            opt_state if opt_state is not None else self.tx.init(params),
+        )
         logger.info("restored checkpoint %s at step %d", path, self.state.step)
 
 

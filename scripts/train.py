@@ -178,6 +178,7 @@ def main():
                 train_iter, val_iter,
                 resume_from_checkpoint=args.resume_from_checkpoint if epoch == 0 else None,
             )
+        trainer.finalize()  # load_best_model_at_end (reference trainer.py:63)
         trainer.save_checkpoint()
 
     if args.profile:

@@ -308,6 +308,138 @@ def test_partial_adapter_checkpoint_restore(tmp_path):
     assert t.state.step == 7
 
 
+def test_resume_is_bitwise_identical(tmp_path):
+    """Train N steps → checkpoint → resume in a FRESH trainer → the final
+    params and optimizer state match an uninterrupted run bit-for-bit
+    (full-fidelity resume: params + opt state + step/schedule position)."""
+    def fresh_trainer(outdir):
+        model = tiny_model()
+        params = model.init_params(jax.random.PRNGKey(21))
+        cfg = TrainingConfig(
+            learning_rate=1e-3, warmup_steps=2, max_steps=100,
+            gradient_accumulation_steps=1, compute_dtype="float32",
+            train_audio_encoder=True, train_lm_decoder=False,
+            logging_steps=1000, eval_steps=0, save_steps=0,
+            output_dir=outdir,
+        )
+        return AATTrainer(model, params, cfg)
+
+    batches = [
+        make_segmented_batch(np.random.default_rng(100 + i)) for i in range(6)
+    ]
+
+    # uninterrupted
+    ta = fresh_trainer(str(tmp_path / "a"))
+    for b in batches:
+        ta.training_step([b], fetch_metrics=False)
+
+    # interrupted at step 3 + resumed in a fresh trainer
+    tb = fresh_trainer(str(tmp_path / "b"))
+    for b in batches[:3]:
+        tb.training_step([b], fetch_metrics=False)
+    ckpt = tb.save_checkpoint(str(tmp_path / "b" / "ckpt"))
+    tc = fresh_trainer(str(tmp_path / "c"))
+    tc.restore_checkpoint(ckpt)
+    assert tc.state.step == 3
+    for b in batches[3:]:
+        tc.training_step([b], fetch_metrics=False)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(ta.state.params)[0]
+    flat_c = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(tc.state.params)[0]
+    }
+    for p, v in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(v), flat_c[jax.tree_util.keystr(p)],
+            err_msg=jax.tree_util.keystr(p),
+        )
+    # optimizer state matches too
+    oa = jax.tree_util.tree_flatten_with_path(ta.state.opt_state)[0]
+    oc = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(tc.state.opt_state)[0]
+        if hasattr(v, "shape")
+    }
+    for p, v in oa:
+        if hasattr(v, "shape"):
+            np.testing.assert_array_equal(
+                np.asarray(v), oc[jax.tree_util.keystr(p)],
+                err_msg=jax.tree_util.keystr(p),
+            )
+
+
+def test_save_pretrained_filters_frozen_submodules(tmp_path):
+    """save_pretrained omits frozen submodules (reference filtered
+    save_pretrained, modeling_aslm.py:387-393); restore merges the saved
+    subtrees against a fresh build."""
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(23))
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        train_audio_encoder=True, train_lm_decoder=False,
+        logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir=str(tmp_path),
+    )
+    t = AATTrainer(model, params, cfg)
+    path = t.save_pretrained(str(tmp_path / "export"))
+
+    import orbax.checkpoint as ocp
+
+    saved = ocp.StandardCheckpointer().restore(f"{path}/state")
+    assert set(saved["params"]) == {"adapter", "audio_encoder"}  # lm frozen
+
+    # restoring into a fresh trainer keeps the fresh lm_decoder
+    t2 = AATTrainer(model, model.init_params(jax.random.PRNGKey(24)), cfg)
+    fresh_lm = np.asarray(
+        t2.state.params["lm_decoder"]["layers"][0]["mlp"]["gate"]["kernel"]
+    )
+    t2.restore_checkpoint(path)
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.params["lm_decoder"]["layers"][0]["mlp"]["gate"]["kernel"]),
+        fresh_lm,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.params["adapter"]["audio_tokens_embeddings"]["embedding"]),
+        np.asarray(t.state.params["adapter"]["audio_tokens_embeddings"]["embedding"]),
+    )
+
+
+def test_load_best_model_at_end(tmp_path):
+    """finalize() reloads the checkpoint with the best tracked metric and
+    never prunes it (reference load_best_model_at_end, trainer.py:63)."""
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(25))
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        gradient_accumulation_steps=1, compute_dtype="float32",
+        logging_steps=1000, eval_steps=0, save_steps=0, save_total_limit=1,
+        output_dir=str(tmp_path),
+    )
+    t = AATTrainer(model, params, cfg)
+    rng = np.random.default_rng(25)
+    t.training_step([make_segmented_batch(rng)], fetch_metrics=False)
+    best_path = t.save_checkpoint(metric=0.5)
+    t._track_best(best_path, 0.5)
+    best_params = np.asarray(
+        t.state.params["adapter"]["projection"]["out"]["kernel"]
+    )
+    t.training_step([make_segmented_batch(rng)], fetch_metrics=False)
+    worse_path = t.save_checkpoint(metric=0.9)
+    t._track_best(worse_path, 0.9)
+    assert t._best_checkpoint == best_path
+    import os
+
+    assert os.path.isdir(best_path)  # protected from save_total_limit=1 pruning
+    t.finalize()
+    np.testing.assert_array_equal(
+        np.asarray(t.state.params["adapter"]["projection"]["out"]["kernel"]),
+        best_params,
+    )
+    assert t.state.step == 2  # step is kept; only weights roll back
+
+
 def test_caption_cross_entropy_masks_padding():
     rng = np.random.default_rng(0)
     vocab = 11
