@@ -1,18 +1,32 @@
-"""Fused attention Pallas kernel.
+"""Fused flash attention: K-tiled online-softmax forward + Pallas backward.
 
 The reference leans on torch ``flash_attention_2`` for its frozen encoders
 and LM (scripts/trainer_train.py:199-201,210-212); this is the TPU-native
-equivalent: a Pallas kernel that never materializes the ``[T, S]`` score
-matrix in HBM. Each grid step loads one query tile plus the full K/V for its
-(batch, head) into VMEM and computes scores → masked softmax → context in
-one fused block (at speech/caption lengths ≤ 4k, K/V fit VMEM comfortably;
-a K-tiled online-softmax variant only pays off beyond that).
+equivalent. The score matrix [T, S] is never materialized in HBM:
 
-``flash_attention`` carries a custom VJP whose backward recomputes scores in
-XLA (FlashAttention-style rematerialization: no stored probabilities).
+* Forward: grid (batch*heads, q-tiles, k-tiles) with the k dimension
+  innermost/sequential. Running max/denominator/accumulator live in VMEM
+  scratch (online softmax), so S is unbounded. Emits the row logsumexp
+  (lanes-broadcast layout, [BH, T, 128]) for the backward.
+* Backward: two Pallas kernels recomputing probabilities from the saved
+  logsumexp (FlashAttention-2 style) — a dq kernel (grid over q-tiles,
+  k innermost) and a dk/dv kernel (grid over k-tiles, q innermost), plus a
+  cheap XLA rowsum for delta = sum(dO * O).
+* Causal: blocks fully above the diagonal are skipped entirely (compute and
+  softmax bookkeeping), halving the work for the LM decoder; the triangle
+  select runs only on blocks that straddle the diagonal.
+* GQA: k/v may carry fewer heads than q ([B, KVH, S, D] with H % KVH == 0);
+  the kernel maps q-head blocks onto shared k/v blocks through the index
+  map instead of materializing a repeated copy.
 
-Layouts: q [B, H, T, D], k/v [B, H, S, D], optional additive bias mask
-[B, 1, T, S] collapsed to a key-padding mask [B, S] + causal flag.
+VPU notes (head_dim 64 keeps this kernel softmax/VPU-bound, not MXU-bound):
+the softmax scale is folded into q before the kernel, the key-padding mask
+is a single additive bias row, and the 1/denominator multiply happens on
+the [BQ, D] output rather than the [BQ, BK] probabilities.
+
+Masked scores sit at -2e30 while the running max is floored at -1e30, so a
+fully-masked row underflows exp() to exact zeros (output 0, no NaN) instead
+of softmaxing garbage.
 """
 
 from __future__ import annotations
@@ -25,80 +39,435 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 512 swept best on v5e at [4,16,1536,64]: f32 27.6 / bf16 37.3 TFLOP/s
-# (256 → 27.3/?, 768 → 15.7); shorter sequences pad into a single tile.
-_BLOCK_Q = 512
-NEG_INF = -1e30
+# Swept on v5e at [4,16,1536,64]; shorter sequences shrink to one tile.
+_MAX_BLOCK = 1536              # largest single tile (whole-utterance T)
+_SCORE_VMEM_BUDGET = 1536 * 1536 * 4  # f32 score block cap (~9.4 MB)
+_BLOCK_Q = 768                 # backward tiles — swept best for both causal
+_BLOCK_K = 1536                # and non-causal (60.9 / 93.8 TFLOP/s on v5e)
+_LANES = 128  # logsumexp/delta are stored lanes-broadcast to stay 2-D
+_VMEM_LIMIT = 100 * 1024 * 1024  # None → Mosaic default (16 MiB)
+
+NEG_INF = -1e30  # running-max floor (matches the XLA reference's mask value)
+_MASK = -2e30    # masked-score value; exp(_MASK - NEG_INF) underflows to 0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, causal: bool, sm_scale: float, q_offset_static: int):
-    qt = pl.program_id(1)
-    q = q_ref[0]  # [BQ, D]
-    k = k_ref[0]  # [S, D]
-    v = v_ref[0]  # [S, D]
-    kmask = kmask_ref[0, 0]  # [S] int32
-
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # [BQ, S]
-
-    s = scores.shape[1]
-    allowed = (kmask > 0)[None, :]
-    if causal:
-        q_pos = qt * _BLOCK_Q + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, dimension=0
-        ) + q_offset_static
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-        allowed = allowed & (k_pos <= q_pos)
-    scores = jnp.where(allowed, scores, NEG_INF)
-
-    scores_max = jnp.max(scores, axis=-1, keepdims=True)
-    unnorm = jnp.exp(scores - scores_max)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    probs = unnorm / jnp.maximum(denom, 1e-30)
-
-    out_ref[0] = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
-def _flash_forward(q, k, v, key_mask, causal, sm_scale):
+def _tile_lanes(x128, width):
+    """Replicate a [rows, 128] lanes-broadcast value to [rows, width].
+
+    Mosaic lowers lane replication of a full 128-lane register cheaply,
+    while an implicit [rows, 1] -> [rows, width] broadcast is much slower —
+    keep all softmax state at 128 lanes and widen with tile/slice only.
+    """
+    if width == _LANES:
+        return x128
+    if width < _LANES:
+        return x128[:, :width]
+    assert width % _LANES == 0, width
+    return jnp.tile(x128, (1, width // _LANES))
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=(pltpu.PARALLEL, pltpu.PARALLEL, pltpu.ARBITRARY),
+        # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit rejects
+        # the large single-tile configs that measure fastest (178 TFLOP/s at
+        # [4,16,1536,64] bf16 with the whole sequence as one block).
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
+
+
+def _causal_mask(s, q_start, k_start, block_k):
+    """Triangle select, applied unconditionally on every running block.
+
+    A lax.cond that skipped the select on fully-below-diagonal blocks
+    measured 3.6x SLOWER at [4,16,1536,64]/512-blocks (0.854 ms vs 0.238 ms)
+    — the conditional defeats Mosaic's software pipelining, costing far more
+    than the iota/compare/select it saves. Block-level skipping of
+    fully-above-diagonal blocks (pl.when(run) in the callers) is where the
+    causal win comes from."""
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(k_pos <= q_pos, s, _MASK)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, causal: bool, block_q: int,
+                block_k: int, nk: int):
+    # lse_ref is None when the caller doesn't need residuals (inference)
+    j = pl.program_id(1)
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = j * block_q
+    k_start = kidx * block_k
+    run = (k_start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]  # [BQ, D], softmax scale pre-folded
+        k = k_ref[0]  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BK]
+        s = s + bias_ref[0]  # [1, BK]: sublane broadcast (cheap direction)
+        if causal:
+            s = _causal_mask(s, q_start, k_start, block_k)
+
+        d = acc_scr.shape[-1]
+        m_prev = m_scr[:]                               # [BQ, 128]
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=1)[:, None]            # [BQ, 1]
+        m_next = jnp.maximum(m_prev, m_curr)            # [BQ, 128]
+        alpha = jnp.exp(m_prev - m_next)                # [BQ, 128]
+        p = jnp.exp(s - _tile_lanes(m_next, s.shape[1]))
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        acc_scr[:] = acc_scr[:] * _tile_lanes(alpha, d) + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_next
+
+    @pl.when(kidx == nk - 1)
+    def _finalize():
+        l = l_scr[:]  # [BQ, 128]
+        inv = 1.0 / jnp.maximum(l, 1e-30)  # dead rows: acc == 0 → out 0
+        out_ref[0] = (acc_scr[:] * _tile_lanes(inv, acc_scr.shape[-1])).astype(
+            out_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = m_scr[:] + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _default_blocks(t, s, causal=False):
+    """Shape-aware block choice (swept on v5e at [4,16,1536,64]):
+    non-causal wants the whole extent as one tile when it fits (fewer grid
+    steps, q loaded once → 178 TFLOP/s bf16); causal wants finer tiles so
+    above-diagonal blocks skip entirely and the triangle select runs only on
+    straddling blocks."""
+    cap = 512 if causal else _MAX_BLOCK
+    bq = min(-(-t // 128) * 128, cap)
+    bk = min(-(-s // 128) * 128, cap)
+    while bq * bk * 4 > _SCORE_VMEM_BUDGET and bk > 512:
+        bk //= 2
+    while bq * bk * 4 > _SCORE_VMEM_BUDGET and bq > 512:
+        bq //= 2
+    return bq, bk
+
+
+def _flash_forward(q, k, v, key_mask, causal, sm_scale,
+                   block_q=None, block_k=None, need_residuals=True):
+    """q [B, H, T, D]; k/v [B, KVH, S, D]; key_mask [B, S].
+
+    Returns (out [B, H, T, D], lse [BH, Tp, 128] float32 or None, (Tp, Sp)).
+    """
     b, h, t, d = q.shape
-    s = k.shape[2]
-    bh = b * h
-    qf = q.reshape(bh, t, d)
-    kf = k.reshape(bh, s, d)
-    vf = v.reshape(bh, s, d)
-    # [BH, 1, S]: a 3-D layout so the block's trailing dims equal the array's
-    # (Mosaic requires trailing block dims divisible by (8, 128) or exact).
-    maskf = jnp.repeat(key_mask.astype(jnp.int32), h, axis=0)[:, None, :]
+    kvh, s = k.shape[1], k.shape[2]
+    assert h % kvh == 0, (h, kvh)
+    dbq, dbk = _default_blocks(t, s, causal)
+    bq = block_q or dbq
+    bk = block_k or dbk
+    tp = -(-t // bq) * bq
+    sp = -(-s // bk) * bk
+    nq, nk = tp // bq, sp // bk
+    rep = h // kvh
 
-    grid = (bh, pl.cdiv(t, _BLOCK_Q))
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, causal=causal, sm_scale=sm_scale, q_offset_static=0),
-        grid=grid,
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qf = _pad_to(qs.reshape(b * h, t, d), tp, axis=1)
+    kf = _pad_to(k.reshape(b * kvh, s, d), sp, axis=1)
+    vf = _pad_to(v.reshape(b * kvh, s, d), sp, axis=1)
+    bias = jnp.where(_pad_to(key_mask, sp, axis=1) > 0, 0.0, _MASK)
+    bias = bias.astype(jnp.float32)[:, None, :]  # [B, 1, Sp]
+
+    if need_residuals:
+        kernel = functools.partial(_fwd_kernel, causal=causal, block_q=bq,
+                                   block_k=bk, nk=nk)
+        out_specs = (
+            pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, _LANES), lambda i, j, n: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tp, _LANES), jnp.float32),
+        )
+    else:
+        def kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr,
+                   acc_scr):
+            _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, None,
+                        m_scr, l_scr, acc_scr, causal=causal, block_q=bq,
+                        block_k=bk, nk=nk)
+
+        out_specs = pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b * h, tp, d), q.dtype)
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(b * h, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d),
+                         lambda i, j, n, h=h, rep=rep, kvh=kvh:
+                         ((i // h) * kvh + (i % h) // rep, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d),
+                         lambda i, j, n, h=h, rep=rep, kvh=kvh:
+                         ((i // h) * kvh + (i % h) // rep, n, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * t * s * d,
-            bytes_accessed=q.dtype.itemsize * bh * (t * d * 2 + 2 * s * d),
-            transcendentals=bh * t * s,
+            flops=4 * b * h * t * s * d // (2 if causal else 1),
+            bytes_accessed=q.dtype.itemsize * b * h * (2 * t + 2 * s) * d,
+            transcendentals=b * h * t * s,
         ),
-        interpret=jax.default_backend() != "tpu",
-    )(qf, kf, vf, maskf)
-    return out.reshape(b, h, t, d)
+        interpret=_interpret(),
+    )(bias, qf, kf, vf)
+    out, lse = result if need_residuals else (result, None)
+    return out[:, :t, :].reshape(b, h, t, d), lse, (tp, sp)
 
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+              causal, q_start, k_start, block_k):
+    """Shared backward core: recompute p and ds = p * (dp - delta), [BQ, BK]."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + bias_ref[0]  # [1, BK]: sublane broadcast (cheap direction)
+    if causal:
+        s = _causal_mask(s, q_start, k_start, block_k)
+    bk = s.shape[1]
+    p = jnp.exp(s - _tile_lanes(lse_ref[0], bk))  # [BQ, BK]
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - _tile_lanes(delta_ref[0], bk))
+    return p, ds
+
+
+def _bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_scr, *, causal, block_q, block_k, nk, sm_scale):
+    j = pl.program_id(1)
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q_start = j * block_q
+    k_start = kidx * block_k
+    run = (k_start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        _, ds = _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, causal, q_start, k_start, block_k)
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kidx == nk - 1)
+    def _finalize():
+        dq_ref[0] = (dq_scr[:] * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, causal, block_q,
+                    block_k, nq, sm_scale):
+    kidx = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q_start = j * block_q
+    k_start = kidx * block_k
+    run = (q_start + block_q - 1 >= k_start) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        p, ds = _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, causal, q_start, k_start, block_k)
+        # contract the q dimension (dim 0 of both operands)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nq - 1)
+    def _finalize():
+        # q carried the softmax scale, so dk needs no extra factor; undo it
+        # here instead: dk = ds^T @ (q * scale) computed with scaled q already.
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
+                    block_q=None, block_k=None):
+    b, h, t, d = q.shape
+    kvh, s = k.shape[1], k.shape[2]
+    rep = h // kvh
+    bq = block_q or min(_BLOCK_Q, -(-t // 128) * 128)
+    bk = block_k or min(_BLOCK_K, -(-s // 128) * 128)
+    tp = -(-t // bq) * bq
+    sp = -(-s // bk) * bk
+    nq, nk = tp // bq, sp // bk
+
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qf = _pad_to(qs.reshape(b * h, t, d), tp, axis=1)
+    kf = _pad_to(k.reshape(b * kvh, s, d), sp, axis=1)
+    vf = _pad_to(v.reshape(b * kvh, s, d), sp, axis=1)
+    dof = _pad_to(g.reshape(b * h, t, d), tp, axis=1)
+    # the forward may have used different q blocks → re-fit lse's padding
+    # (padded rows are harmless: dO there is zero, so ds/dv contributions are)
+    lse = _pad_to(lse[:, :tp, :], tp, axis=1)
+    bias = jnp.where(_pad_to(key_mask, sp, axis=1) > 0, 0.0, _MASK)
+    bias = bias.astype(jnp.float32)[:, None, :]
+    # delta = rowsum(dO * O), lanes-broadcast like lse
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = _pad_to(delta.reshape(b * h, t), tp, axis=1)
+    delta = jnp.broadcast_to(delta[..., None], (b * h, tp, _LANES))
+
+    kv_map = lambda i, j, n, h=h, rep=rep, kvh=kvh: (
+        (i // h) * kvh + (i % h) // rep, n, 0)
+
+    common_in_specs = [
+        pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, _LANES), lambda i, j, n: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, _LANES), lambda i, j, n: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, causal=causal, block_q=bq,
+                          block_k=bk, nk=nk, sm_scale=sm_scale),
+        grid=(b * h, nq, nk),
+        in_specs=common_in_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=_compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * t * s * d // (2 if causal else 1),
+            bytes_accessed=q.dtype.itemsize * b * h * (3 * t + 2 * s) * d,
+            transcendentals=b * h * t * s,
+        ),
+        interpret=_interpret(),
+    )(bias, qf, kf, vf, dof, lse, delta)
+
+    # dkv grid: (bh, k-tiles, q-tiles) — remap the spec index order
+    def _swap(spec_map):
+        return lambda i, n, j: spec_map(i, j, n)
+
+    dkv_in_specs = [
+        pl.BlockSpec(spec.block_shape, _swap(spec.index_map),
+                     memory_space=pltpu.VMEM)
+        for spec in common_in_specs
+    ]
+    dk_rep, dv_rep = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, block_q=bq,
+                          block_k=bk, nq=nq, sm_scale=sm_scale),
+        grid=(b * h, nk, nq),
+        in_specs=dkv_in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda i, n, j: (i, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, n, j: (i, n, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sp, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sp, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * t * s * d // (2 if causal else 1),
+            bytes_accessed=q.dtype.itemsize * b * h * (3 * t + 4 * s) * d,
+            transcendentals=b * h * t * s,
+        ),
+        interpret=_interpret(),
+    )(bias, qf, kf, vf, dof, lse, delta)
+
+    dq = dq[:, :t, :].reshape(b, h, t, d)
+    # reduce grads over q-heads sharing a kv head (GQA)
+    dk = dk_rep[:, :s, :].reshape(b, kvh, rep, s, d).sum(2) if rep > 1 \
+        else dk_rep[:, :s, :].reshape(b, kvh, s, d)
+    dv = dv_rep[:, :s, :].reshape(b, kvh, rep, s, d).sum(2) if rep > 1 \
+        else dv_rep[:, :s, :].reshape(b, kvh, s, d)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
 
 def _reference_attention(q, k, v, key_mask, causal, sm_scale):
-    """XLA attention with identical masking semantics (used for backward
-    recompute and as the non-Pallas fallback)."""
+    """XLA attention with identical masking semantics (non-Pallas fallback).
+
+    Supports GQA: k/v may have fewer heads ([B, KVH, S, D])."""
+    if k.shape[1] != q.shape[1]:
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * sm_scale
     allowed = key_mask[:, None, None, :] > 0
@@ -122,29 +491,28 @@ def flash_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
 ):
-    """Fused attention: q/k/v [B, H, T|S, D], key_mask [B, S] → [B, H, T, D]."""
+    """Fused attention: q [B, H, T, D], k/v [B, H|KVH, S, D], key_mask [B, S]
+    → [B, H, T, D]. GQA-aware (H % KVH == 0)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    return _flash_forward(q, k, v, key_mask, causal, sm_scale)
+    out, _, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale,
+                               need_residuals=False)
+    return out
 
 
 def _fwd(q, k, v, key_mask, causal, sm_scale):
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    out = _flash_forward(q, k, v, key_mask, causal, sm_scale)
-    return out, (q, k, v, key_mask)
+    out, lse, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale)
+    return out, (q, k, v, key_mask, out, lse)
 
 
 def _bwd(causal, sm_scale, residuals, g):
-    q, k, v, key_mask = residuals
+    q, k, v, key_mask, out, lse = residuals
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-
-    def f(q, k, v):
-        return _reference_attention(q, k, v, key_mask, causal, sm_scale)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _flash_backward(q, k, v, key_mask, out, lse, causal,
+                                 sm_scale, g)
     return dq, dk, dv, None
 
 
@@ -157,11 +525,10 @@ MIN_PALLAS_SEQ_LEN = 256
 def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True):
     """Dispatch: Pallas fused kernel or XLA fallback (same semantics).
 
-    The fused kernel iterates a (batch*heads, q-tiles) grid; at short
-    sequence lengths (segment encoding, T~12) the per-step overhead swamps
+    The fused kernel iterates a (batch*heads, q-tiles, k-tiles) grid; at
+    short sequence lengths (segment encoding, T~12) per-step overhead swamps
     the tiny compute while XLA batches everything into one fused op — so the
-    kernel only engages at T >= MIN_PALLAS_SEQ_LEN (it measured 1.51x
-    end-to-end at T~1500).
+    kernel only engages at T >= MIN_PALLAS_SEQ_LEN.
     """
     if use_pallas and q.shape[-2] >= MIN_PALLAS_SEQ_LEN:
         return flash_attention(q, k, v, key_mask, causal, sm_scale)

@@ -115,6 +115,25 @@ def bench_attention(quick):
     dt = timeit(pls16, qb, kb, vb)
     report("attention_pallas_bf16", dt, flops / 1e12, "TFLOP/s")
 
+    pls16c = jax.jit(lambda q, k, v: attention(q, k, v, mask, causal=True,
+                                               use_pallas=True))
+    dt = timeit(pls16c, qb, kb, vb)
+    report("attention_pallas_bf16_causal", dt, flops / 2 / 1e12, "TFLOP/s")
+
+    # training path: forward + fused Pallas backward (dq + dkv kernels);
+    # flop convention 4.5x fwd (2 fwd matmuls + 7 bwd matmuls)
+    for causal, name in ((False, "attention_fwdbwd_bf16"),
+                         (True, "attention_fwdbwd_bf16_causal")):
+        work = 4.5 * flops / (2 if causal else 1)
+        for pallas, label in ((True, name), (False, name + "_xla")):
+            grad = jax.jit(jax.grad(
+                lambda q, k, v, c=causal, p=pallas: jnp.sum(
+                    attention(q, k, v, mask, causal=c, use_pallas=p)
+                    .astype(jnp.float32)),
+                argnums=(0, 1, 2)))
+            dt = timeit(grad, qb, kb, vb, iters=10)
+            report(label, dt, work / 1e12, "TFLOP/s")
+
 
 def bench_vq(quick):
     import jax.numpy as jnp

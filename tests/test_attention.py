@@ -94,3 +94,94 @@ def test_llama_pallas_attention_matches_xla(monkeypatch):
     valid = mask.astype(bool)
     diff = np.abs(np.asarray(out_xla) - np.asarray(out_pls))[valid]
     assert diff.max() < 2e-4
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_multiblock_online_softmax_matches_reference(monkeypatch, causal):
+    """t=s=320 with 128-blocks: multiple k-tiles (online rescaling), multiple
+    q-tiles, and non-divisible padding (320 → 384) — fwd and grads."""
+    import aat_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_MAX_BLOCK", 128)   # forward tiles
+    monkeypatch.setattr(attn_mod, "_BLOCK_Q", 128)     # backward tiles
+    monkeypatch.setattr(attn_mod, "_BLOCK_K", 128)
+    rng = np.random.default_rng(7)
+    q, k, v, mask = make_qkv(rng, b=2, h=2, t=320, s=320, d=8)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, causal, None) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _reference_attention(q, k, v, mask, causal, q.shape[-1] ** -0.5) ** 2
+        )
+
+    ours = np.asarray(flash_attention(q, k, v, mask, causal, None))
+    ref = np.asarray(_reference_attention(q, k, v, mask, causal, q.shape[-1] ** -0.5))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_fewer_kv_heads(causal):
+    """k/v with fewer heads than q (SmolLM: 9 q / 3 kv): the kernel maps
+    shared kv blocks through the index map; grads reduce over the group."""
+    rng = np.random.default_rng(8)
+    b, h, kvh, t, d = 2, 4, 2, 16, 8
+    q = jnp.asarray(rng.normal(0, 1, (b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (b, kvh, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (b, kvh, t, d)).astype(np.float32))
+    mask = np.ones((b, t), np.int32)
+    mask[1, t // 2 :] = 0
+    mask = jnp.asarray(mask)
+
+    ours = np.asarray(flash_attention(q, k, v, mask, causal, None))
+    ref = np.asarray(_reference_attention(q, k, v, mask, causal, d ** -0.5))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, causal, None) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, mask, causal, d ** -0.5) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fully_masked_batch_row_is_zero_and_grad_finite():
+    """A batch row whose keys are all masked must produce zeros (not a
+    garbage softmax) and finite, zero gradients for that row."""
+    rng = np.random.default_rng(9)
+    q, k, v, _ = make_qkv(rng, b=2, h=2, t=8, s=8, d=8)
+    mask = np.ones((2, 8), np.int32)
+    mask[1, :] = 0
+    mask = jnp.asarray(mask)
+
+    out = np.asarray(flash_attention(q, k, v, mask, False, None))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[1], 0.0, atol=0)
+
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v, mask, False, None)),
+                 argnums=(0, 1, 2))(q, k, v)
+    for arr in g:
+        arr = np.asarray(arr)
+        assert np.all(np.isfinite(arr))
+        np.testing.assert_allclose(arr[1], 0.0, atol=0)
+
+
+def test_bf16_matches_f32_reference():
+    rng = np.random.default_rng(10)
+    q, k, v, mask = make_qkv(rng, b=2, h=2, t=16, s=16, d=8)
+    out16 = np.asarray(
+        flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                        v.astype(jnp.bfloat16), mask, False, None)
+    ).astype(np.float32)
+    ref = np.asarray(_reference_attention(q, k, v, mask, False, q.shape[-1] ** -0.5))
+    np.testing.assert_allclose(out16, ref, atol=3e-2)
