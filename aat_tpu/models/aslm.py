@@ -133,8 +133,13 @@ def _dense(x, p):
                       preferred_element_type=jnp.float32).astype(x.dtype) + p["bias"]
 
 
-def _pooling_mha(p, x, key_padding_mask, num_heads):
-    """torch nn.MultiheadAttention with packed qkv, batch_first."""
+def _pooling_mha(p, x, key_padding_mask, num_heads, dropout_rng=None,
+                 dropout_rate=0.0):
+    """torch nn.MultiheadAttention with packed qkv, batch_first (prob
+    dropout included: the reference's TransformerEncoderLayer passes its
+    dropout=0.1 into MHA)."""
+    from aat_tpu.ops.dropout import dropout
+
     b, t, d = x.shape
     hd = d // num_heads
     qkv = _dense(x, p["in_proj"])  # [B, T, 3D]
@@ -149,6 +154,8 @@ def _pooling_mha(p, x, key_padding_mask, num_heads):
     neg = jnp.finfo(jnp.float32).min
     bias = jnp.where(key_padding_mask[:, None, None, :], neg, 0.0)
     probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+    if dropout_rng is not None:
+        probs = dropout(dropout_rng, probs, dropout_rate)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
@@ -160,10 +167,18 @@ def pooling_forward(
     config: PoolingConfig,
     inputs_embeds: jnp.ndarray,
     attention_mask: jnp.ndarray,
+    dropout_rng=None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
     """AudioEmbeddingsEncoderPooling.forward parity
     (reference modeling_aslm.py:38-60): l_in → +pos → pre-LN transformer
-    with key-padding mask → l_out on the CLS position → [N, 1, out_dim]."""
+    with key-padding mask → l_out on the CLS position → [N, 1, out_dim].
+
+    ``dropout_rng`` enables torch TransformerEncoderLayer train-mode
+    dropout (default 0.1, reference modeling_aslm.py:29-36): attention
+    probs, both residual branches, and the FF activation."""
+    from aat_tpu.ops.dropout import dropout
+
     h = _dense(inputs_embeds, params["l_in"])
     t = h.shape[1]
     max_positions = params["positional_embeddings"]["embedding"].shape[0]
@@ -176,11 +191,26 @@ def pooling_forward(
     h = h + params["positional_embeddings"]["embedding"][:t, :]
     key_padding = attention_mask == 0
 
-    for layer in params["layers"]:
+    for idx, layer in enumerate(params["layers"]):
+        k_attn = k_res1 = k_ff = k_res2 = None
+        if dropout_rng is not None:
+            k_attn, k_res1, k_ff, k_res2 = jax.random.split(
+                jax.random.fold_in(dropout_rng, idx), 4
+            )
         attn_in = _layer_norm(h, layer["norm1"])
-        h = h + _pooling_mha(layer["attention"], attn_in, key_padding, config.num_heads)
+        attn_out = _pooling_mha(layer["attention"], attn_in, key_padding,
+                                config.num_heads, k_attn, dropout_rate)
+        if dropout_rng is not None:  # torch .dropout1
+            attn_out = dropout(k_res1, attn_out, dropout_rate)
+        h = h + attn_out
         ff_in = _layer_norm(h, layer["norm2"])
-        h = h + _dense(jax.nn.relu(_dense(ff_in, layer["linear1"])), layer["linear2"])
+        y = jax.nn.relu(_dense(ff_in, layer["linear1"]))
+        if dropout_rng is not None:  # torch ._ff_block inner dropout
+            y = dropout(k_ff, y, dropout_rate)
+        y = _dense(y, layer["linear2"])
+        if dropout_rng is not None:  # torch .dropout2
+            y = dropout(k_res2, y, dropout_rate)
+        h = h + y
 
     return _dense(h[:, 0:1, :], params["l_out"])
 
@@ -230,6 +260,7 @@ class AslmModel:
         waveforms: jnp.ndarray,
         waveforms_mask: Optional[jnp.ndarray] = None,
         segments_mask: Optional[jnp.ndarray] = None,
+        dropout_rng=None,
     ):
         """[N, F] segment waveforms → ([N, T, E] frames, [N, T] frame mask).
 
@@ -238,7 +269,8 @@ class AslmModel:
         the segments-boarders mask).
         """
         frames, frame_mask = hub.hubert_encode(
-            params["audio_encoder"], self.audio_encoder_config, waveforms, waveforms_mask
+            params["audio_encoder"], self.audio_encoder_config, waveforms,
+            waveforms_mask, dropout_rng=dropout_rng,
         )
         if frame_mask is None:
             frame_mask = jnp.ones(frames.shape[:2], dtype=bool)
@@ -251,23 +283,35 @@ class AslmModel:
         params: dict,
         melspecs: jnp.ndarray,
         segments_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
     ):
         """EfficientNet path: per-segment melspecs ``[N, n_mels, T]`` →
         ``([N, 1, 1280], [N, 1])`` (reference EfficientNetAudioEncdoerAdapter
-        forward + all-ones feature mask, modeling_aslm.py:81-93)."""
+        forward + all-ones feature mask, modeling_aslm.py:81-93).
+
+        ``train=True`` runs torch train-mode batch norm and additionally
+        returns the batch BN statistics for ``apply_bn_updates`` (the
+        reference's HF Trainer keeps the model in ``.train()``, so BN uses
+        batch stats and EMAs running stats during training)."""
         from aat_tpu.models.efficientnet import EfficientNetAudioEncoderAdapter
 
         adapter = EfficientNetAudioEncoderAdapter(self.audio_encoder_config)
-        frames = adapter(params["audio_encoder"], melspecs)
+        if train:
+            frames, bn_stats = adapter(params["audio_encoder"], melspecs, train=True)
+        else:
+            frames = adapter(params["audio_encoder"], melspecs)
         frame_mask = jnp.ones(frames.shape[:2], dtype=bool)
         if segments_mask is not None:
             frame_mask = frame_mask & segments_mask[:, None].astype(bool)
+        if train:
+            return frames, frame_mask, bn_stats
         return frames, frame_mask
 
     # ---- projection (reference audio_embeddings_projection, :232-294) ----
 
     def project_audio_embeddings(
-        self, params: dict, audio_embeds: jnp.ndarray, frame_mask: jnp.ndarray
+        self, params: dict, audio_embeds: jnp.ndarray, frame_mask: jnp.ndarray,
+        dropout_rng=None,
     ):
         """[N, T, E] + [N, T] → ([N, P, H_lm], [N, P] mask)."""
         cfg = self.config
@@ -284,7 +328,8 @@ class AslmModel:
                 [jnp.ones((n, 1), frame_mask.dtype), frame_mask], axis=1
             )
             projected = pooling_forward(
-                adapter["pooling"], cfg.pooling, with_cls, mask_with_cls
+                adapter["pooling"], cfg.pooling, with_cls, mask_with_cls,
+                dropout_rng=dropout_rng, dropout_rate=cfg.dropout,
             )  # [N, 1, H_lm]
             out_mask = jnp.any(frame_mask, axis=-1, keepdims=True)
             return projected, out_mask
@@ -322,6 +367,7 @@ class AslmModel:
         attention_mask: Optional[jnp.ndarray] = None,
         input_ids: Optional[jnp.ndarray] = None,
         segments_count: Optional[int] = None,
+        dropout_rng=None,
     ) -> dict:
         """Project audio, wrap with audio BOS/EOS embeddings, concat text.
 
@@ -334,7 +380,7 @@ class AslmModel:
             inputs_embeds = self.encode_text(params, input_ids)
 
         projected, proj_mask = self.project_audio_embeddings(
-            params, audio_embeds, frame_mask
+            params, audio_embeds, frame_mask, dropout_rng=dropout_rng
         )
 
         if segments_count is not None:

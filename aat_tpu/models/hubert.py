@@ -45,6 +45,8 @@ class HubertConfig:
     feature_projection_dropout: float = 0.0
     hidden_dropout: float = 0.0
     attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    layerdrop: float = 0.0  # torch train-mode LayerDrop (whole-layer skip)
     attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
     remat: bool = False  # rematerialize encoder layers (memory for FLOPs)
 
@@ -58,8 +60,19 @@ def hubert_large_config() -> HubertConfig:
 
     attention_impl='pallas': the fused kernel is 1.51x faster end to end at
     whole-utterance lengths and matches XLA within bf16 noise at segment
-    lengths (both measured on v5e)."""
-    return HubertConfig(attention_impl="pallas")
+    lengths (both measured on v5e).
+
+    Dropout rates follow the HF HubertConfig defaults the checkpoint carries
+    (train-mode parity: the reference's HF Trainer runs model.train(), which
+    applies these even on the frozen encoder). Porting a real checkpoint
+    should overwrite them from its config.json (zero-egress here)."""
+    return HubertConfig(
+        attention_impl="pallas",
+        hidden_dropout=0.1,
+        attention_dropout=0.1,
+        activation_dropout=0.1,
+        layerdrop=0.1,
+    )
 
 
 def hubert_base_config() -> HubertConfig:
@@ -259,7 +272,7 @@ def _pos_conv_embedding(params, config: HubertConfig, hidden: jnp.ndarray) -> jn
 
 
 def _attention(params, config: HubertConfig, x: jnp.ndarray,
-               frame_mask: Optional[jnp.ndarray]):
+               frame_mask: Optional[jnp.ndarray], dropout_rng=None):
     b, t, h = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
     q = _dense(x, params["q"])
@@ -275,22 +288,39 @@ def _attention(params, config: HubertConfig, x: jnp.ndarray,
         else jnp.ones((b, t), jnp.int32)
     )
     from aat_tpu.ops.attention import attention as fused_attention
+    from aat_tpu.ops.dropout import attention_seed
 
     ctx = fused_attention(
         q, k, v, key_mask, causal=False, sm_scale=hd ** -0.5,
         use_pallas=config.attention_impl == "pallas",
+        dropout_rate=config.attention_dropout,
+        dropout_seed=attention_seed(dropout_rng),
     )
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
     return _dense(ctx, params["out"])
 
 
-def _feed_forward(params, x):
+def _feed_forward(params, x, config: HubertConfig, dropout_rng=None):
+    from aat_tpu.ops.dropout import dropout
+
     y = jax.nn.gelu(_dense(x, params["intermediate"]), approximate=False)
+    if dropout_rng is not None:
+        # HF HubertFeedForward: intermediate_dropout (activation_dropout)
+        # then output_dropout (hidden_dropout)
+        k1, k2 = jax.random.split(dropout_rng)
+        y = dropout(k1, y, config.activation_dropout)
+        return dropout(k2, _dense(y, params["output"]), config.hidden_dropout)
     return _dense(y, params["output"])
 
 
 def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
-            frame_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+            frame_mask: Optional[jnp.ndarray], dropout_rng=None) -> jnp.ndarray:
+    """Transformer encoder. ``dropout_rng`` enables torch train-mode
+    regularization: hidden dropout after the positional conv, per-layer
+    attention-prob / hidden / activation dropout, and LayerDrop
+    (HF HubertEncoder[StableLayerNorm] train semantics)."""
+    from aat_tpu.ops.dropout import dropout
+
     eps = config.layer_norm_eps
     if frame_mask is not None:
         hidden = hidden * frame_mask[..., None].astype(hidden.dtype)
@@ -298,24 +328,53 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
     hidden = hidden + _pos_conv_embedding(params, config, hidden)
     if not config.do_stable_layer_norm:
         hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
+    if dropout_rng is not None:
+        dropout_rng, k = jax.random.split(dropout_rng)
+        hidden = dropout(k, hidden, config.hidden_dropout)
 
-    def layer_step(hidden, layer):
+    def layer_step(hidden, layer, rng):
+        k_attn = k_res1 = k_ff = None
+        if rng is not None:
+            k_attn, k_res1, k_ff = jax.random.split(rng, 3)
         if config.do_stable_layer_norm:  # pre-LN (large)
             attn_in = _layer_norm(hidden, layer["layer_norm"], eps)
-            hidden = hidden + _attention(layer["attention"], config, attn_in, frame_mask)
+            attn_out = _attention(layer["attention"], config, attn_in,
+                                  frame_mask, k_attn)
+            if rng is not None:
+                attn_out = dropout(k_res1, attn_out, config.hidden_dropout)
+            hidden = hidden + attn_out
             ff_in = _layer_norm(hidden, layer["final_layer_norm"], eps)
-            hidden = hidden + _feed_forward(layer["feed_forward"], ff_in)
+            hidden = hidden + _feed_forward(layer["feed_forward"], ff_in,
+                                            config, k_ff)
         else:  # post-LN (base)
-            hidden = hidden + _attention(layer["attention"], config, hidden, frame_mask)
+            attn_out = _attention(layer["attention"], config, hidden,
+                                  frame_mask, k_attn)
+            if rng is not None:
+                attn_out = dropout(k_res1, attn_out, config.hidden_dropout)
+            hidden = hidden + attn_out
             hidden = _layer_norm(hidden, layer["layer_norm"], eps)
-            hidden = hidden + _feed_forward(layer["feed_forward"], hidden)
+            hidden = hidden + _feed_forward(layer["feed_forward"], hidden,
+                                            config, k_ff)
             hidden = _layer_norm(hidden, layer["final_layer_norm"], eps)
         return hidden
 
     if config.remat:
         layer_step = jax.checkpoint(layer_step)
-    for layer in params["layers"]:
-        hidden = layer_step(hidden, layer)
+    for idx, layer in enumerate(params["layers"]):
+        rng = (
+            jax.random.fold_in(dropout_rng, idx)
+            if dropout_rng is not None else None
+        )
+        new_hidden = layer_step(hidden, layer, rng)
+        if dropout_rng is not None and config.layerdrop > 0.0:
+            # torch LayerDrop: one draw per layer per step skips the whole
+            # layer for the whole batch (compute-then-select keeps shapes
+            # static; no FLOPs saved, semantics preserved)
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, 1 << 20), 1.0 - config.layerdrop
+            )
+            new_hidden = jnp.where(keep, new_hidden, hidden)
+        hidden = new_hidden
 
     if config.do_stable_layer_norm:
         hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
@@ -327,12 +386,17 @@ def hubert_encode(
     config: HubertConfig,
     waveform: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None,
+    dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full encoder: [B, L] waveforms → ([B, T, H] frames, [B, T] frame mask).
 
-    Mirrors ``HubertModel.forward`` inference semantics (mask_time_prob=0,
-    the reference loads encoders that way, scripts/trainer_train.py:204).
+    Mirrors ``HubertModel.forward`` (mask_time_prob=0, the reference loads
+    encoders that way, scripts/trainer_train.py:204). Passing ``dropout_rng``
+    selects torch train-mode semantics (dropout active per the config
+    rates); omitting it gives eval/inference semantics.
     """
+    from aat_tpu.ops.dropout import dropout
+
     features = feature_extractor(params, config, waveform)
     frame_mask = None
     if attention_mask is not None:
@@ -342,5 +406,9 @@ def hubert_encode(
     fp = params["feature_projection"]
     hidden = _layer_norm(features, fp["layer_norm"], config.layer_norm_eps)
     hidden = _dense(hidden, fp["projection"])
-    hidden = encoder(params, config, hidden, frame_mask)
+    k_fp = k_enc = None
+    if dropout_rng is not None:
+        k_fp, k_enc = jax.random.split(dropout_rng)
+        hidden = dropout(k_fp, hidden, config.feature_projection_dropout)
+    hidden = encoder(params, config, hidden, frame_mask, k_enc)
     return hidden, frame_mask

@@ -36,6 +36,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -89,6 +90,46 @@ def _compiler_params():
     )
 
 
+_GOLDEN = np.int32(-1640531527)  # 0x9e3779b9: per-head seed decorrelation
+
+
+def _mix32(x):
+    """murmur3 finalizer on int32 (two's-complement wraparound)."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * np.int32(-2048144789)  # 0x85ebca6b
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * np.int32(-1028477387)  # 0xc2b2ae35
+    return x ^ jax.lax.shift_right_logical(x, 16)
+
+
+def _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride, rate):
+    """Deterministic dropout keep-mask keyed on absolute (q, k) positions.
+
+    A counter-based hash RNG instead of pltpu.prng_*: the mask regenerates
+    bit-identically in the backward kernels regardless of their block tiling
+    (positions are absolute, not block-relative), and it runs in interpret
+    mode on CPU where the TPU PRNG primitives are unavailable."""
+    x = q_pos * np.int32(s_stride) + k_pos
+    x = _mix32(x ^ seed_and_head)
+    u = jax.lax.shift_right_logical(x, 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u >= rate
+
+
+def _apply_prob_dropout(p, seed_ref, head_idx, q_start, k_start, s_stride,
+                        rate):
+    """Inverted dropout on attention probabilities, inside the kernel.
+
+    Mirrors torch train-mode attention dropout (softmax → dropout → @ v,
+    HF Hubert attention_dropout / nn.MultiheadAttention dropout).
+    ``head_idx`` must be read at kernel top level (pl.program_id inside a
+    pl.when body breaks interpret mode)."""
+    seed_and_head = seed_ref[0, 0] + head_idx * _GOLDEN
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    keep = _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride, rate)
+    return jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+
+
 def _causal_mask(s, q_start, k_start, block_k):
     """Triangle select, applied unconditionally on every running block.
 
@@ -107,10 +148,11 @@ def _causal_mask(s, q_start, k_start, block_k):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
+def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, causal: bool, block_q: int,
-                block_k: int, nk: int):
+                block_k: int, nk: int, dropout_rate: float, s_stride: int):
     # lse_ref is None when the caller doesn't need residuals (inference)
+    head_idx = pl.program_id(0)
     j = pl.program_id(1)
     kidx = pl.program_id(2)
 
@@ -142,7 +184,12 @@ def _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
         m_next = jnp.maximum(m_prev, m_curr)            # [BQ, 128]
         alpha = jnp.exp(m_prev - m_next)                # [BQ, 128]
         p = jnp.exp(s - _tile_lanes(m_next, s.shape[1]))
+        # the softmax denominator sums UNdropped probabilities (dropout acts
+        # on normalized probs: out = dropout(softmax(s)) @ v)
         l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        if dropout_rate > 0.0:
+            p = _apply_prob_dropout(p, seed_ref, head_idx, q_start, k_start,
+                                    s_stride, dropout_rate)
         acc_scr[:] = acc_scr[:] * _tile_lanes(alpha, d) + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -175,8 +222,15 @@ def _default_blocks(t, s, causal=False):
     return bq, bk
 
 
+def _seed_arr(dropout_seed):
+    if dropout_seed is None:
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+
 def _flash_forward(q, k, v, key_mask, causal, sm_scale,
-                   block_q=None, block_k=None, need_residuals=True):
+                   block_q=None, block_k=None, need_residuals=True,
+                   dropout_rate=0.0, dropout_seed=None):
     """q [B, H, T, D]; k/v [B, KVH, S, D]; key_mask [B, S].
 
     Returns (out [B, H, T, D], lse [BH, Tp, 128] float32 or None, (Tp, Sp)).
@@ -191,6 +245,9 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
     sp = -(-s // bk) * bk
     nq, nk = tp // bq, sp // bk
     rep = h // kvh
+    # the dropout hash strides by the ORIGINAL key extent so the backward
+    # regenerates identical masks under any block tiling
+    s_stride = s
 
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qf = _pad_to(qs.reshape(b * h, t, d), tp, axis=1)
@@ -198,10 +255,13 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
     vf = _pad_to(v.reshape(b * kvh, s, d), sp, axis=1)
     bias = jnp.where(_pad_to(key_mask, sp, axis=1) > 0, 0.0, _MASK)
     bias = bias.astype(jnp.float32)[:, None, :]  # [B, 1, Sp]
+    seed = _seed_arr(dropout_seed)
 
     if need_residuals:
         kernel = functools.partial(_fwd_kernel, causal=causal, block_q=bq,
-                                   block_k=bk, nk=nk)
+                                   block_k=bk, nk=nk,
+                                   dropout_rate=dropout_rate,
+                                   s_stride=s_stride)
         out_specs = (
             pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -213,11 +273,12 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
             jax.ShapeDtypeStruct((b * h, tp, _LANES), jnp.float32),
         )
     else:
-        def kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr,
-                   acc_scr):
-            _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, None,
-                        m_scr, l_scr, acc_scr, causal=causal, block_q=bq,
-                        block_k=bk, nk=nk)
+        def kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, m_scr,
+                   l_scr, acc_scr):
+            _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
+                        None, m_scr, l_scr, acc_scr, causal=causal,
+                        block_q=bq, block_k=bk, nk=nk,
+                        dropout_rate=dropout_rate, s_stride=s_stride)
 
         out_specs = pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                                  memory_space=pltpu.VMEM)
@@ -227,6 +288,8 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
         kernel,
         grid=(b * h, nq, nk),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
@@ -254,7 +317,7 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
             transcendentals=b * h * t * s,
         ),
         interpret=_interpret(),
-    )(bias, qf, kf, vf)
+    )(seed, bias, qf, kf, vf)
     out, lse = result if need_residuals else (result, None)
     return out[:, :t, :].reshape(b, h, t, d), lse, (tp, sp)
 
@@ -263,9 +326,17 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
 # backward
 # ---------------------------------------------------------------------------
 
-def _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-              causal, q_start, k_start, block_k):
-    """Shared backward core: recompute p and ds = p * (dp - delta), [BQ, BK]."""
+def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+              delta_ref, causal, head_idx, q_start, k_start, block_k,
+              dropout_rate, s_stride):
+    """Shared backward core, [BQ, BK]: recompute the normalized
+    probabilities from the saved logsumexp and form ds = p * (dp - delta).
+
+    With dropout: the keep-mask regenerates from the same position hash as
+    the forward. dv needs the DROPPED p~; the dropout chain rule applies to
+    dp (dp = dp~ ⊙ mask/keep) while ds uses the UNdropped p — and
+    delta = rowsum(dO·O) already equals rowsum(dp ⊙ p) through the mask, so
+    the softmax backward identity is unchanged."""
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
@@ -280,12 +351,24 @@ def _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    p_v = p
+    if dropout_rate > 0.0:
+        seed_and_head = seed_ref[0, 0] + head_idx * _GOLDEN
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        keep = _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride,
+                                    dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        p_v = jnp.where(keep, p * inv, 0.0)
+        dp = jnp.where(keep, dp * inv, 0.0)
     ds = p * (dp - _tile_lanes(delta_ref[0], bk))
-    return p, ds
+    return p_v, ds
 
 
-def _bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_scr, *, causal, block_q, block_k, nk, sm_scale):
+def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dq_scr, *, causal, block_q, block_k,
+                   nk, sm_scale, dropout_rate, s_stride):
+    head_idx = pl.program_id(0)
     j = pl.program_id(1)
     kidx = pl.program_id(2)
 
@@ -299,8 +382,9 @@ def _bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        _, ds = _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, causal, q_start, k_start, block_k)
+        _, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, causal, head_idx, q_start,
+                          k_start, block_k, dropout_rate, s_stride)
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -311,9 +395,10 @@ def _bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = (dq_scr[:] * sm_scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, causal, block_q,
-                    block_k, nq, sm_scale):
+def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal,
+                    block_q, block_k, nq, sm_scale, dropout_rate, s_stride):
+    head_idx = pl.program_id(0)
     kidx = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -328,8 +413,9 @@ def _bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        p, ds = _ds_block(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, causal, q_start, k_start, block_k)
+        p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, causal, head_idx, q_start,
+                          k_start, block_k, dropout_rate, s_stride)
         # contract the q dimension (dim 0 of both operands)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -349,7 +435,8 @@ def _bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
-                    block_q=None, block_k=None):
+                    block_q=None, block_k=None, dropout_rate=0.0,
+                    dropout_seed=None):
     b, h, t, d = q.shape
     kvh, s = k.shape[1], k.shape[2]
     rep = h // kvh
@@ -358,6 +445,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     tp = -(-t // bq) * bq
     sp = -(-s // bk) * bk
     nq, nk = tp // bq, sp // bk
+    s_stride = s  # position-hash stride; must equal the forward's
+    seed = _seed_arr(dropout_seed)
 
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qf = _pad_to(qs.reshape(b * h, t, d), tp, axis=1)
@@ -377,6 +466,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     kv_map = lambda i, j, n, h=h, rep=rep, kvh=kvh: (
         (i // h) * kvh + (i % h) // rep, n, 0)
 
+    seed_spec = pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
+                             memory_space=pltpu.SMEM)
     common_in_specs = [
         pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, n),
                      memory_space=pltpu.VMEM),
@@ -394,9 +485,10 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, block_q=bq,
-                          block_k=bk, nk=nk, sm_scale=sm_scale),
+                          block_k=bk, nk=nk, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate, s_stride=s_stride),
         grid=(b * h, nq, nk),
-        in_specs=common_in_specs,
+        in_specs=[seed_spec] + common_in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
@@ -408,20 +500,23 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
             transcendentals=b * h * t * s,
         ),
         interpret=_interpret(),
-    )(bias, qf, kf, vf, dof, lse, delta)
+    )(seed, bias, qf, kf, vf, dof, lse, delta)
 
     # dkv grid: (bh, k-tiles, q-tiles) — remap the spec index order
     def _swap(spec_map):
         return lambda i, n, j: spec_map(i, j, n)
 
     dkv_in_specs = [
+        pl.BlockSpec((1, 1), lambda i, n, j: (0, 0), memory_space=pltpu.SMEM)
+    ] + [
         pl.BlockSpec(spec.block_shape, _swap(spec.index_map),
                      memory_space=pltpu.VMEM)
         for spec in common_in_specs
     ]
     dk_rep, dv_rep = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, block_q=bq,
-                          block_k=bk, nq=nq, sm_scale=sm_scale),
+                          block_k=bk, nq=nq, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate, s_stride=s_stride),
         grid=(b * h, nk, nq),
         in_specs=dkv_in_specs,
         out_specs=(
@@ -445,7 +540,7 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
             transcendentals=b * h * t * s,
         ),
         interpret=_interpret(),
-    )(bias, qf, kf, vf, dof, lse, delta)
+    )(seed, bias, qf, kf, vf, dof, lse, delta)
 
     dq = dq[:, :t, :].reshape(b, h, t, d)
     # reduce grads over q-heads sharing a kv head (GQA)
@@ -460,10 +555,14 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
 # public API
 # ---------------------------------------------------------------------------
 
-def _reference_attention(q, k, v, key_mask, causal, sm_scale):
+def _reference_attention(q, k, v, key_mask, causal, sm_scale,
+                         dropout_rate=0.0, dropout_seed=None):
     """XLA attention with identical masking semantics (non-Pallas fallback).
 
-    Supports GQA: k/v may have fewer heads ([B, KVH, S, D])."""
+    Supports GQA (k/v with fewer heads) and train-mode attention-prob
+    dropout. The dropout mask uses the same position hash as the kernel, so
+    with the same integer seed both paths drop the SAME entries — the test
+    suite relies on this exact equivalence."""
     if k.shape[1] != q.shape[1]:
         rep = q.shape[1] // k.shape[1]
         k = jnp.repeat(k, rep, axis=1)
@@ -478,11 +577,19 @@ def _reference_attention(q, k, v, key_mask, causal, sm_scale):
         allowed = allowed & (k_pos <= q_pos)[None, None]
     scores = jnp.where(allowed, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_seed is not None:
+        b, hh, t, s = probs.shape
+        head = jnp.arange(b * hh, dtype=jnp.int32).reshape(b, hh, 1, 1)
+        seed_and_head = jnp.asarray(dropout_seed, jnp.int32) + head * _GOLDEN
+        q_pos = jnp.arange(t, dtype=jnp.int32)[:, None]
+        k_pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+        keep = _keep_from_positions(seed_and_head, q_pos, k_pos, s,
+                                    dropout_rate)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -490,40 +597,53 @@ def flash_attention(
     key_mask: jnp.ndarray,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ):
     """Fused attention: q [B, H, T, D], k/v [B, H|KVH, S, D], key_mask [B, S]
-    → [B, H, T, D]. GQA-aware (H % KVH == 0)."""
+    → [B, H, T, D]. GQA-aware (H % KVH == 0). ``dropout_rate``/``dropout_seed``
+    apply train-mode attention-prob dropout inside the kernel (the backward
+    regenerates the same mask from the position hash); a missing seed means
+    eval mode (no dropout)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    rate = float(dropout_rate) if dropout_seed is not None else 0.0
+    return _flash_core(q, k, v, key_mask, _seed_arr(dropout_seed), causal,
+                       sm_scale, rate)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_core(q, k, v, key_mask, seed, causal, sm_scale, dropout_rate):
     out, _, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale,
-                               need_residuals=False)
+                               need_residuals=False,
+                               dropout_rate=dropout_rate, dropout_seed=seed)
     return out
 
 
-def _fwd(q, k, v, key_mask, causal, sm_scale):
-    if sm_scale is None:
-        sm_scale = q.shape[-1] ** -0.5
-    out, lse, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale)
-    return out, (q, k, v, key_mask, out, lse)
+def _fwd(q, k, v, key_mask, seed, causal, sm_scale, dropout_rate):
+    out, lse, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale,
+                                 dropout_rate=dropout_rate, dropout_seed=seed)
+    return out, (q, k, v, key_mask, seed, out, lse)
 
 
-def _bwd(causal, sm_scale, residuals, g):
-    q, k, v, key_mask, out, lse = residuals
-    if sm_scale is None:
-        sm_scale = q.shape[-1] ** -0.5
+def _bwd(causal, sm_scale, dropout_rate, residuals, g):
+    q, k, v, key_mask, seed, out, lse = residuals
     dq, dk, dv = _flash_backward(q, k, v, key_mask, out, lse, causal,
-                                 sm_scale, g)
-    return dq, dk, dv, None
+                                 sm_scale, g, dropout_rate=dropout_rate,
+                                 dropout_seed=seed)
+    return dq, dk, dv, None, None
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_core.defvjp(_fwd, _bwd)
 
 
 MIN_PALLAS_SEQ_LEN = 256
 
 
-def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True):
-    """Dispatch: Pallas fused kernel or XLA fallback (same semantics).
+def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True,
+              dropout_rate=0.0, dropout_seed=None):
+    """Dispatch: Pallas fused kernel or XLA fallback (same semantics,
+    including the position-hash attention dropout).
 
     The fused kernel iterates a (batch*heads, q-tiles, k-tiles) grid; at
     short sequence lengths (segment encoding, T~12) per-step overhead swamps
@@ -531,7 +651,9 @@ def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True):
     kernel only engages at T >= MIN_PALLAS_SEQ_LEN.
     """
     if use_pallas and q.shape[-2] >= MIN_PALLAS_SEQ_LEN:
-        return flash_attention(q, k, v, key_mask, causal, sm_scale)
+        return flash_attention(q, k, v, key_mask, causal, sm_scale,
+                               dropout_rate, dropout_seed)
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    return _reference_attention(q, k, v, key_mask, causal, sm_scale)
+    return _reference_attention(q, k, v, key_mask, causal, sm_scale,
+                                dropout_rate, dropout_seed)

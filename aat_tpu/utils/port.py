@@ -44,6 +44,13 @@ def hubert_config_from_torch(torch_config) -> "HubertConfig":
         do_stable_layer_norm=torch_config.do_stable_layer_norm,
         num_conv_pos_embeddings=torch_config.num_conv_pos_embeddings,
         num_conv_pos_embedding_groups=torch_config.num_conv_pos_embedding_groups,
+        # train-mode regularization rates come from the checkpoint config
+        # (applied only when a dropout_rng is passed to hubert_encode)
+        feature_projection_dropout=getattr(torch_config, "feat_proj_dropout", 0.0),
+        hidden_dropout=getattr(torch_config, "hidden_dropout", 0.0),
+        attention_dropout=getattr(torch_config, "attention_dropout", 0.0),
+        activation_dropout=getattr(torch_config, "activation_dropout", 0.0),
+        layerdrop=getattr(torch_config, "layerdrop", 0.0),
     )
 
 

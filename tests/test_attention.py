@@ -185,3 +185,72 @@ def test_bf16_matches_f32_reference():
     ).astype(np.float32)
     ref = np.asarray(_reference_attention(q, k, v, mask, False, q.shape[-1] ** -0.5))
     np.testing.assert_allclose(out16, ref, atol=3e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_dropout_kernel_matches_xla_twin(monkeypatch, causal):
+    """The kernel's in-kernel dropout and the XLA reference share the same
+    position-hash keep-mask: with the same integer seed the two paths must
+    drop the SAME probabilities — outputs and grads match exactly (up to
+    matmul rounding). Small blocks force multi-tile mask regeneration."""
+    import aat_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_MAX_BLOCK", 128)
+    monkeypatch.setattr(attn_mod, "_BLOCK_Q", 128)
+    monkeypatch.setattr(attn_mod, "_BLOCK_K", 128)
+    rng = np.random.default_rng(11)
+    q, k, v, mask = make_qkv(rng, b=2, h=2, t=160, s=160, d=8)
+    rate, seed = 0.3, 1234
+
+    ours = np.asarray(flash_attention(q, k, v, mask, causal, None, rate, seed))
+    ref = np.asarray(_reference_attention(
+        q, k, v, mask, causal, q.shape[-1] ** -0.5, rate, seed))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, mask, causal, None, rate, seed) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        _reference_attention(q, k, v, mask, causal, q.shape[-1] ** -0.5,
+                             rate, seed) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_attention_dropout_statistics_and_eval_mode():
+    rng = np.random.default_rng(12)
+    q, k, v, mask = make_qkv(rng, b=2, h=2, t=32, s=32, d=8)
+    rate = 0.25
+
+    # eval mode: no seed → deterministic, equals the no-dropout output
+    base = np.asarray(flash_attention(q, k, v, mask, False, None))
+    evalmode = np.asarray(flash_attention(q, k, v, mask, False, None, rate, None))
+    np.testing.assert_array_equal(base, evalmode)
+
+    # same seed → identical; different seeds → different
+    a = np.asarray(flash_attention(q, k, v, mask, False, None, rate, 7))
+    b = np.asarray(flash_attention(q, k, v, mask, False, None, rate, 7))
+    c = np.asarray(flash_attention(q, k, v, mask, False, None, rate, 8))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6
+
+    # inverted dropout: the mean over many seeds approaches the base output
+    acc = np.zeros_like(base)
+    n = 64
+    for s_ in range(n):
+        acc += np.asarray(flash_attention(q, k, v, mask, False, None, rate, s_))
+    mean = acc / n
+    # tolerance ~ sigma/sqrt(n); attention outputs are O(1)
+    assert np.abs(mean - base).mean() < 0.05
+
+    # drop fraction on the probabilities: measure via the XLA twin's mask
+    import aat_tpu.ops.attention as attn_mod
+    head = jnp.arange(4, dtype=jnp.int32).reshape(2, 2, 1, 1)
+    q_pos = jnp.arange(32, dtype=jnp.int32)[:, None]
+    k_pos = jnp.arange(32, dtype=jnp.int32)[None, :]
+    keep = np.asarray(attn_mod._keep_from_positions(
+        jnp.int32(7) + head * attn_mod._GOLDEN, q_pos, k_pos, 32, rate))
+    frac = 1.0 - keep.mean()
+    assert abs(frac - rate) < 0.03
