@@ -9,9 +9,19 @@ mask (:91-93).
 
 Architecture: standard EfficientNet-b0 (stem conv → 16 MBConv blocks with
 squeeze-excitation → 1x1 head conv → global average pool), TF-SAME padding
-(matching the reference's Conv2dStaticSamePadding), SiLU activations,
-inference-mode batch norm (running statistics; the adapter is typically
-frozen — scripts/trainer_train.py:216-221 loads pretrained b0).
+(matching the reference's Conv2dStaticSamePadding), SiLU activations.
+
+Batch norm runs in both torch modes: inference (running statistics) and
+train (batch statistics + running-stat EMA). The reference's HF Trainer
+calls ``model.train()``, so its EfficientNet BN normalizes with batch
+stats and EMAs the running stats during every training step — even when
+the encoder's weights are frozen (scripts/trainer_train.py:216-225).
+``efficientnet_features(..., train=True)`` reproduces that: it normalizes
+with the current batch's statistics and returns the batch stats so the
+caller can fold them into the running estimates with
+``apply_bn_updates`` (torch updates running_var with the *unbiased*
+variance while normalizing with the biased one; momentum 0.01 matches
+lukemelas/EfficientNet-PyTorch's ``1 - batch_norm_momentum``).
 """
 
 from __future__ import annotations
@@ -36,6 +46,7 @@ _STEM_CH = 32
 _HEAD_CH = 1280
 _SE_RATIO = 0.25
 _BN_EPS = 1e-3
+BN_MOMENTUM = 0.01  # lukemelas b0: 1 - batch_norm_momentum (0.99)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,38 +127,109 @@ def _conv2d(x, kernel, stride=1, groups=1):
     ).astype(x.dtype)
 
 
-def _bn(x, p):
-    inv = jax.lax.rsqrt(jnp.asarray(p["var"]) + _BN_EPS)
-    return (x - jnp.asarray(p["mean"])) * inv * jnp.asarray(p["scale"]) + jnp.asarray(p["bias"])
+def _bn(x, p, batch_stats=None):
+    """Inference BN (running stats), or — given ``batch_stats=(mean, var)``
+    — torch train-mode BN (normalize with the batch's biased statistics)."""
+    if batch_stats is None:
+        mean, var = jnp.asarray(p["mean"]), jnp.asarray(p["var"])
+    else:
+        mean, var = batch_stats
+    inv = jax.lax.rsqrt(var + _BN_EPS)
+    return (x - mean) * inv * jnp.asarray(p["scale"]) + jnp.asarray(p["bias"])
+
+
+def _batch_stats(x):
+    """Per-channel (mean, biased var, unbiased var) over (N, H, W) in f32
+    — the torch train-mode statistics (biased for normalization, unbiased
+    for the running-var EMA)."""
+    xf = x.astype(jnp.float32)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+    unbiased = var * (n / max(n - 1, 1))
+    return mean.astype(x.dtype), var.astype(x.dtype), unbiased
 
 
 def _silu(x):
     return jax.nn.silu(x)
 
 
-def efficientnet_features(params: dict, images: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, 3] → [B, 1280] pooled features."""
-    x = _silu(_bn(_conv2d(images, params["stem"]["conv"]["kernel"], stride=2),
-                  params["stem"]["bn"]))
+def efficientnet_features(params: dict, images: jnp.ndarray, train: bool = False):
+    """[B, H, W, 3] → [B, 1280] pooled features.
+
+    ``train=True`` normalizes every BN with the batch's statistics (torch
+    ``.train()`` semantics) and returns ``(features, bn_stats)`` where
+    ``bn_stats`` mirrors the params tree's BN subtrees with the batch
+    ``{mean, var}`` (var unbiased, stop-gradient) for ``apply_bn_updates``.
+    """
+    stats: dict = {"stem": {}, "blocks": [], "head": {}}
+
+    def bn(x, p, slot, key):
+        if not train:
+            return _bn(x, p)
+        mean, var, unbiased = _batch_stats(x)
+        slot[key] = {
+            "mean": jax.lax.stop_gradient(mean.astype(jnp.float32)),
+            "var": jax.lax.stop_gradient(unbiased),
+        }
+        return _bn(x, p, batch_stats=(mean, var))
+
+    x = bn(_conv2d(images, params["stem"]["conv"]["kernel"], stride=2),
+           params["stem"]["bn"], stats["stem"], "bn")
+    x = _silu(x)
     for spec, p in zip(block_specs(), params["blocks"]):
+        bstats: dict = {}
         inp = x
         if spec["expand"] != 1:
-            x = _silu(_bn(_conv2d(x, p["expand_conv"]["kernel"]), p["expand_bn"]))
+            x = _silu(bn(_conv2d(x, p["expand_conv"]["kernel"]), p["expand_bn"],
+                         bstats, "expand_bn"))
         mid = x.shape[-1]
-        x = _silu(_bn(
+        x = _silu(bn(
             _conv2d(x, p["dw_conv"]["kernel"], stride=spec["stride"], groups=mid),
-            p["dw_bn"],
+            p["dw_bn"], bstats, "dw_bn",
         ))
         # squeeze-excitation
         se = jnp.mean(x, axis=(1, 2), keepdims=True)
         se = _silu(_conv2d(se, p["se_reduce"]["kernel"]) + jnp.asarray(p["se_reduce"]["bias"]))
         se = jax.nn.sigmoid(_conv2d(se, p["se_expand"]["kernel"]) + jnp.asarray(p["se_expand"]["bias"]))
         x = x * se
-        x = _bn(_conv2d(x, p["project_conv"]["kernel"]), p["project_bn"])
+        x = bn(_conv2d(x, p["project_conv"]["kernel"]), p["project_bn"],
+               bstats, "project_bn")
         if spec["stride"] == 1 and spec["cin"] == spec["cout"]:
             x = x + inp
-    x = _silu(_bn(_conv2d(x, params["head"]["conv"]["kernel"]), params["head"]["bn"]))
-    return jnp.mean(x, axis=(1, 2))  # global average pool → [B, 1280]
+        stats["blocks"].append(bstats)
+    x = _silu(bn(_conv2d(x, params["head"]["conv"]["kernel"]), params["head"]["bn"],
+                 stats["head"], "bn"))
+    pooled = jnp.mean(x, axis=(1, 2))  # global average pool → [B, 1280]
+    if train:
+        return pooled, stats
+    return pooled
+
+
+def apply_bn_updates(params: dict, bn_stats: dict,
+                     momentum: float = BN_MOMENTUM) -> dict:
+    """EMA the batch statistics from ``efficientnet_features(train=True)``
+    into the running estimates: ``running = (1-m)*running + m*batch``
+    (torch ``nn.BatchNorm2d`` update rule). Returns a new params tree;
+    everything except BN ``mean``/``var`` leaves is shared untouched."""
+
+    def merge(p, s):
+        out = dict(p)
+        for key, batch in s.items():
+            if isinstance(batch, dict) and "mean" in batch:
+                b = dict(p[key])
+                b["mean"] = (1.0 - momentum) * jnp.asarray(p[key]["mean"], jnp.float32) \
+                    + momentum * batch["mean"]
+                b["var"] = (1.0 - momentum) * jnp.asarray(p[key]["var"], jnp.float32) \
+                    + momentum * batch["var"]
+                out[key] = b
+        return out
+
+    new = dict(params)
+    new["stem"] = merge(params["stem"], bn_stats["stem"])
+    new["head"] = merge(params["head"], bn_stats["head"])
+    new["blocks"] = [merge(p, s) for p, s in zip(params["blocks"], bn_stats["blocks"])]
+    return new
 
 
 class EfficientNetAudioEncoderAdapter:
@@ -158,13 +240,17 @@ class EfficientNetAudioEncoderAdapter:
         # duck-type the HubertConfig surface AslmModel touches
         self.hidden_size = config.hidden_size
 
-    def __call__(self, params: dict, melspec: jnp.ndarray):
+    def __call__(self, params: dict, melspec: jnp.ndarray, train: bool = False):
         """melspec ``[bs, 1, n_mels, T]`` (or ``[bs, n_mels, T]``) →
-        last_hidden_state ``[bs, 1, 1280]``."""
+        last_hidden_state ``[bs, 1, 1280]`` — plus the batch BN statistics
+        when ``train=True`` (see ``efficientnet_features``)."""
         if melspec.ndim == 3:
             melspec = melspec[:, None, :, :]
         images = jnp.repeat(melspec, 3, axis=1)  # [bs, 3, H, W]
         images = images.transpose(0, 2, 3, 1)  # NHWC
+        if train:
+            feats, bn_stats = efficientnet_features(params, images, train=True)
+            return feats[:, None, :], bn_stats
         feats = efficientnet_features(params, images)
         return feats[:, None, :]
 
