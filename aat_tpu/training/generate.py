@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,11 @@ class GenerationConfig:
     eos_token_id: int = 2
     pad_token_id: int = 0
     length_penalty: float = 1.0
+    # HF flags the reference generates with (trainer.py:568-580):
+    # early_stopping=True freezes a batch's finished pool once full;
+    # forced_eos_token_id forces eos as the final generated token.
+    early_stopping: bool = False
+    forced_eos_token_id: Optional[int] = None
 
 
 def _apply_repetition_penalty(logits, generated, gen_mask, penalty):
@@ -80,7 +86,9 @@ def _apply_no_repeat_ngram(logits, generated, step, n):
     has_prefix = step >= n - 1
     banned = jax.vmap(banned_for_batch)(generated)
     banned = banned & has_prefix
-    return jnp.where(banned, NEG_INF, logits)
+    # HF NoRepeatNGramLogitsProcessor masks with -inf (not a large-negative
+    # sentinel); mirrored so beam candidate arithmetic matches bit-for-bit
+    return jnp.where(banned, -jnp.inf, logits)
 
 
 def _process_logits(logits, generated, gen_mask, step, config: GenerationConfig):
@@ -168,14 +176,36 @@ def beam_generate(
     attention_mask: jnp.ndarray,
     config: GenerationConfig,
 ) -> jnp.ndarray:
-    """Beam search → [B, max_new_tokens] ids of the best beam.
+    """Beam search → [B, max_new_tokens] ids of the best finished beam.
 
-    Reference settings: num_beams=3, repetition_penalty=2.5,
-    no_repeat_ngram_size=4 (trainer.py:568-580).
+    Mirrors transformers' vectorized ``_beam_search`` (generation/utils.py,
+    the refactored flax-style implementation) step for step, so the
+    reference's exact ``gen_params`` (trainer.py:568-580: num_beams=3,
+    repetition_penalty=2.5, no_repeat_ngram_size=4, early_stopping=True,
+    pad=eos, forced_eos) reproduce HF's selected sequences:
+
+    - processors apply to log-softmax scores (not raw logits) in beam mode;
+    - per step, the top 2K accumulated candidates are split: candidates that
+      hit a stopping criterion (eos, or reaching max length) AND rank < K
+      retire into a K-slot finished pool scored by
+      ``cum_logprob / len**length_penalty`` (length includes the eos token);
+      the best K non-finished continue;
+    - a batch stops accepting finished hypotheses once its pool is full
+      (early_stopping=True) or once the best running beam provably cannot
+      improve on the worst pooled score (the sticky heuristic HF applies for
+      early_stopping=False);
+    - the emitted sequence contains the eos token, then pad fill — exactly
+      HF's output layout (minus HF's crop-to-longest, since shapes are
+      static here).
+
+    ``remove_invalid_values`` is a no-op for finite models and is omitted.
     """
     b, t0, _ = inputs_embeds.shape
     k = config.num_beams
+    k2 = 2 * k  # HF: beams_to_keep = max(2, 1 + n_eos) * num_beams
     max_new = config.max_new_tokens
+    lp = config.length_penalty
+    es = bool(config.early_stopping)
     cache_len = t0 + max_new
 
     last_logits, caches, cache_mask, lengths = _prefill(
@@ -191,53 +221,79 @@ def beam_generate(
     lengths_k = tile(lengths)
 
     bk = b * k
-    generated = jnp.full((bk, max_new), config.pad_token_id, jnp.int32)
-    # beam scores: only beam 0 alive initially
+    # HF quirk, mirrored: `output_fill_value = pad_token_id or eos_token_id`
+    # — a pad id of 0 is falsy in Python, so HF pads beam outputs with EOS
+    fill = config.pad_token_id if config.pad_token_id != 0 else (
+        config.eos_token_id if config.eos_token_id >= 0 else -1
+    )
+    generated = jnp.full((bk, max_new), fill, jnp.int32)
+    # running beam scores: only beam 0 alive initially (HF inits others -1e9)
     beam_scores = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None, :], (b, 1)
-    ).reshape(bk)
-    # finished-hypothesis pool (HF BeamSearchScorer semantics with
-    # num_return_sequences=1: eos candidates among the top 2K retire to the
-    # pool; running beams continue with the best non-eos candidates)
-    best_done_score = jnp.full((b,), NEG_INF)
-    best_done_seq = jnp.full((b, max_new), config.pad_token_id, jnp.int32)
+    )  # [B, K] float32
+    # K-slot finished pool (normalized scores), HF's `sequences`/`beam_scores`
+    pool_seqs = jnp.full((b, k, max_new), fill, jnp.int32)
+    pool_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+    pool_finished = jnp.zeros((b, k), bool)
+    # sticky per-batch "running beams could still improve the pool" bit
+    unsat = jnp.ones((b,), bool)
+
+    batch_idx = jnp.arange(b)
 
     def step_fn(carry, step):
         (last_logits, caches, cache_mask, generated, beam_scores,
-         best_done_score, best_done_seq) = carry
+         pool_seqs, pool_scores, pool_finished, unsat) = carry
+
+        # -- candidate scores: processors on log-probs (HF beam semantics) --
+        logprobs = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
         gen_mask = jnp.arange(max_new)[None, :] < step
-        logits = _process_logits(last_logits, generated, gen_mask, step, config)
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [BK, V]
+        logprobs = _process_logits(logprobs, generated, gen_mask, step, config)
+        if config.forced_eos_token_id is not None:
+            # ForcedEOSTokenLogitsProcessor: at the final position, -inf
+            # everywhere except forced eos -> 0
+            forced = jnp.full(logprobs.shape, -jnp.inf, logprobs.dtype)
+            forced = forced.at[:, config.forced_eos_token_id].set(0.0)
+            logprobs = jnp.where(step == max_new - 1, forced, logprobs)
         v = logprobs.shape[-1]
 
-        cand = (beam_scores[:, None] + logprobs).reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)  # [B, 2K]
+        cand = (beam_scores.reshape(bk)[:, None] + logprobs).reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k2)  # [B, 2K], sorted desc
         src_beam = top_idx // v
         token = (top_idx % v).astype(jnp.int32)
-        is_eos = token == config.eos_token_id
+        # stopping criteria per candidate: eos, or the sequence reaching
+        # max length (HF retires ALL top-K candidates at the final step)
+        hits = (token == config.eos_token_id) | (step + 1 >= max_new)
 
-        # retire the best eos candidate into the pool (length_penalty 1.0:
-        # raw cumulative log-prob; the eos token itself is not emitted)
-        eos_scores = jnp.where(is_eos, top_scores, NEG_INF)
-        best_eos = jnp.max(eos_scores, axis=-1)  # [B]
-        best_eos_src = jnp.take_along_axis(
-            src_beam, jnp.argmax(eos_scores, axis=-1)[:, None], axis=1
-        )[:, 0]
-        improved = best_eos > best_done_score
-        done_seq_candidate = generated.reshape(b, k, max_new)[
-            jnp.arange(b), best_eos_src
-        ]
-        best_done_seq = jnp.where(improved[:, None], done_seq_candidate, best_done_seq)
-        best_done_score = jnp.maximum(best_done_score, best_eos)
+        # candidate sequences [B, 2K, L]: parent tokens + new token at `step`
+        parent = generated.reshape(b, k, max_new)[batch_idx[:, None], src_beam]
+        cand_seqs = parent.at[:, :, step].set(token)
 
-        # continue with the top-K non-eos candidates
-        cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
-        order = jnp.argsort(-cont_scores, axis=-1)[:, :k]  # [B, K]
-        new_scores = jnp.take_along_axis(cont_scores, order, axis=1)
+        # -- pool update (HF _update_finished_beams) --
+        did_finish = hits & (jnp.arange(k2) < k)[None, :]
+        norm = top_scores / ((step + 1).astype(jnp.float32) ** lp)
+        pool_full = jnp.all(pool_finished, axis=1)  # [B]
+        merge_scores = (
+            norm
+            + jnp.where(did_finish, 0.0, NEG_INF)
+            + jnp.where((pool_full & es)[:, None], NEG_INF, 0.0)
+            + jnp.where(unsat[:, None], 0.0, NEG_INF)
+        )
+        merged_scores = jnp.concatenate([pool_scores, merge_scores], axis=1)
+        merged_finished = jnp.concatenate([pool_finished, did_finish], axis=1)
+        merged_seqs = jnp.concatenate([pool_seqs, cand_seqs], axis=1)
+        pool_scores, sel = jax.lax.top_k(merged_scores, k)
+        pool_seqs = merged_seqs[batch_idx[:, None], sel]
+        pool_finished = merged_finished[batch_idx[:, None], sel]
+
+        # -- running beams: best K candidates that did not finish --
+        run_scores = top_scores + jnp.where(hits, NEG_INF, 0.0)
+        new_scores, order = jax.lax.top_k(run_scores, k)  # [B, K]
         new_token = jnp.take_along_axis(token, order, axis=1)
         new_src = jnp.take_along_axis(src_beam, order, axis=1)
+        beam_scores = new_scores
 
-        flat_src = (jnp.arange(b)[:, None] * k + new_src).reshape(bk)
+        flat_src = (batch_idx[:, None] * k + new_src).reshape(bk)
+
         def reorder(x):
             return x[flat_src]
 
@@ -246,7 +302,14 @@ def beam_generate(
         caches = [(reorder(c[0]), reorder(c[1])) for c in caches]
         last_token = new_token.reshape(bk)
         generated = generated.at[:, step].set(last_token)
-        beam_scores = new_scores.reshape(bk)
+
+        # -- sticky early-stop heuristic (HF _check_early_stop_heuristic,
+        # evaluated at cur_len = step + 1; early_stopping=True and the
+        # default False both estimate with the current length) --
+        best_possible = beam_scores[:, 0] / ((step + 1).astype(jnp.float32) ** lp)
+        pool_full_now = jnp.all(pool_finished, axis=1)
+        worst_pool = jnp.where(pool_full_now, jnp.min(pool_scores, axis=1), NEG_INF)
+        unsat = unsat & (best_possible > worst_pool)
 
         slot = t0 + step
         cache_mask = cache_mask.at[:, slot].set(1)
@@ -261,21 +324,16 @@ def beam_generate(
         )
         return (
             logits_next[:, 0, :], caches, cache_mask, generated, beam_scores,
-            best_done_score, best_done_seq,
+            pool_seqs, pool_scores, pool_finished, unsat,
         ), None
 
     carry = (last_logits, caches, cache_mask, generated, beam_scores,
-             best_done_score, best_done_seq)
+             pool_seqs, pool_scores, pool_finished, unsat)
     carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_new))
-    generated, beam_scores = carry[3], carry[4]
-    best_done_score, best_done_seq = carry[5], carry[6]
-
-    # best of: finished pool vs best still-running beam (length_penalty 1.0)
-    run_best = jnp.argmax(beam_scores.reshape(b, k), axis=-1)
-    run_seq = generated.reshape(b, k, max_new)[jnp.arange(b), run_best]
-    run_score = jnp.max(beam_scores.reshape(b, k), axis=-1)
-    use_done = best_done_score >= run_score
-    return jnp.where(use_done[:, None], best_done_seq, run_seq)
+    # pool slot 0 is the best finished hypothesis (top_k keeps descending
+    # order); at the final step every running beam retired, so the pool is
+    # never empty — this matches HF's `sequences[:, :num_return_sequences]`
+    return carry[5][:, 0, :]
 
 
 def generate(

@@ -155,10 +155,18 @@ def test_beam_matches_hf_without_eos(ported):
     np.testing.assert_array_equal(ours, ref[:, :8])
 
 
+def _assert_matches_hf(ours, ref, pad):
+    """ours is [B, max_new]; HF crops to the longest generated length and
+    pad-fills — compare the overlap exactly and require pad after it."""
+    width = ref.shape[1]
+    np.testing.assert_array_equal(ours[:, :width], ref)
+    assert np.all(ours[:, width:] == pad), (ours, ref)
+
+
 def test_beam_with_eos_matches_hf(ported):
-    """With eos, finished hypotheses retire to a pool while survivors keep
-    expanding (HF BeamSearchScorer semantics); the selected prefix must
-    match HF's (HF appends the eos token to its output; we emit pad)."""
+    """With eos, finished candidates ranked < num_beams retire into the
+    K-slot pool scored by cum_logprob/len (HF vectorized beam semantics);
+    the selected sequence must match HF token for token, eos included."""
     tm, params, config = ported
     rng = np.random.default_rng(8)
     embeds = rng.normal(0, 0.02, (2, 4, 32)).astype(np.float32)
@@ -189,13 +197,57 @@ def test_beam_with_eos_matches_hf(ported):
         GenerationConfig(max_new_tokens=10, num_beams=3, eos_token_id=eos,
                          pad_token_id=0),
     ))
+    # pad=0 is falsy, so HF (and we) pad beam output with eos — see the
+    # output_fill_value quirk mirrored in beam_generate
+    _assert_matches_hf(ours, ref, pad=eos)
 
-    for row_ref, row_ours in zip(ref, ours):
-        ref_list = row_ref.tolist()
-        prefix = ref_list[: ref_list.index(eos)] if eos in ref_list else ref_list
-        assert row_ours.tolist()[: len(prefix)] == prefix, (row_ref, row_ours)
-        # positions after the finished prefix are pad
-        assert all(t == 0 for t in row_ours.tolist()[len(prefix) :]) or eos not in ref_list
+
+def test_beam_reference_gen_params_match_hf(ported):
+    """The reference's gen_params dict verbatim (trainer.py:568-580):
+    early_stopping=True, pad=eos, forced_eos, repetition 2.5,
+    no-repeat-4-gram, beam 3 — ours must reproduce HF's output exactly."""
+    tm, params, config = ported
+    rng = np.random.default_rng(11)
+    embeds = rng.normal(0, 0.02, (3, 5, 32)).astype(np.float32)
+    mask = np.ones((3, 5), dtype=np.int64)
+
+    probe = np.asarray(beam_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(max_new_tokens=8, num_beams=3, repetition_penalty=2.5,
+                         no_repeat_ngram_size=4, eos_token_id=-1, pad_token_id=0),
+    ))
+    eos = int(probe[1, 4])
+
+    gen_params = {
+        "do_sample": False,
+        "early_stopping": True,
+        "num_beams": 3,
+        "repetition_penalty": 2.5,
+        "remove_invalid_values": True,
+        "eos_token_id": eos,
+        "pad_token_id": eos,
+        "forced_eos_token_id": eos,
+        "use_cache": True,
+        "no_repeat_ngram_size": 4,
+        "num_return_sequences": 1,
+    }
+    with torch.no_grad():
+        ref = tm.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=12,
+            **gen_params,
+        ).numpy()
+
+    ours = np.asarray(beam_generate(
+        params, config, jnp.asarray(embeds), jnp.asarray(mask),
+        GenerationConfig(
+            max_new_tokens=12, num_beams=3, repetition_penalty=2.5,
+            no_repeat_ngram_size=4, eos_token_id=eos, pad_token_id=eos,
+            early_stopping=True, forced_eos_token_id=eos,
+        ),
+    ))
+    _assert_matches_hf(ours, ref, pad=eos)
 
 
 def test_eos_terminates_and_pads(ported):
