@@ -103,10 +103,30 @@ def adafactor(
     weight_decay: float = 0.0,
     freeze: Optional[dict] = None,
 ) -> optax.GradientTransformation:
-    """Fairseq-style Adafactor (relative step when learning_rate is None)."""
+    """Fairseq-lineage Adafactor matching the reference's vendored variant
+    (reference optimizers.py:6-208; same algorithm as
+    ``transformers.optimization.Adafactor``, the parity oracle in
+    tests/test_adafactor.py): relative-step schedule
+    ``min(1e-2, 1/sqrt(t))`` when ``learning_rate`` is None, updates scaled
+    by each parameter block's RMS (floor 1e-3), factored second moments for
+    every >=2-D parameter (optax's default only factors dims >= 128), clip
+    threshold 1.0, eps 1e-30.
+
+    Known deviation: optax applies ``weight_decay_rate`` unscaled by the
+    step size, fairseq scales decay by lr_t; the reference trains with
+    weight_decay=0 for this optimizer so the paths agree there."""
+    relative_step = learning_rate is None
+    if relative_step:
+        def learning_rate(step):
+            return jnp.minimum(1e-2, jax.lax.rsqrt(step.astype(jnp.float32) + 1.0))
+
     tx = optax.adafactor(
         learning_rate=learning_rate,
-        multiply_by_parameter_scale=True,
+        min_dim_size_to_factor=0,
+        # HF Trainer's adafactor path (the way the reference actually runs
+        # it) forces scale_parameter=False whenever an explicit lr is given;
+        # fairseq's relative-step default keeps it on
+        multiply_by_parameter_scale=relative_step,
         clipping_threshold=1.0,
         weight_decay_rate=weight_decay if weight_decay else None,
     )
