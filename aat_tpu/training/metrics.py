@@ -240,20 +240,95 @@ def rouge(predictions: List[str], references: List[str]) -> Dict[str, float]:
 
 
 # ---------------------------------------------------------------------------
-# METEOR (exact-match variant)
+# METEOR
 # ---------------------------------------------------------------------------
+#
+# Mirrors nltk.translate.meteor_score (the engine behind the `evaluate`
+# library's meteor the reference reports, compute_metrics.py:102-112):
+# staged greedy alignment — exact words, then Porter stems, then WordNet
+# synonyms — scored with alpha=0.9, beta=3, gamma=0.5. The stemmer comes
+# from nltk when installed (pure code, no data download); the synonym stage
+# runs only when the WordNet corpus data is actually present (it is not in
+# offline environments), otherwise that stage is skipped and scores can
+# differ from nltk's by the synonym matches only.
+
+
+def _porter_stemmer():
+    try:
+        from nltk.stem.porter import PorterStemmer
+
+        return PorterStemmer().stem
+    except ImportError:  # identity fallback keeps METEOR functional
+        return lambda w: w
+
+
+def _wordnet_or_none():
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("dog")  # raises LookupError without the corpus data
+        return wordnet
+    except Exception:
+        return None
+
+
+_STEM = None
+_WORDNET: object = "unset"
+
+
+def _meteor_backends():
+    global _STEM, _WORDNET
+    if _STEM is None:
+        _STEM = _porter_stemmer()
+    if _WORDNET == "unset":
+        _WORDNET = _wordnet_or_none()
+    return _STEM, _WORDNET
+
+
+def _align(pred: List[str], ref: List[str]):
+    """nltk _enum_align_words: greedy first-fit matching in three stages
+    over the words left unmatched by the previous stage."""
+    stem, wordnet = _meteor_backends()
+    hyp = list(enumerate(pred))
+    rem_ref = list(enumerate(ref))
+    pairs = []
+
+    def stage(match_fn):
+        nonlocal hyp, rem_ref
+        keep = []
+        for i, w in hyp:
+            hit = None
+            for idx, (j, v) in enumerate(rem_ref):
+                if match_fn(w, v):
+                    hit = idx
+                    break
+            if hit is None:
+                keep.append((i, w))
+            else:
+                pairs.append((i, rem_ref[hit][0]))
+                del rem_ref[hit]
+        hyp = keep
+
+    stage(lambda w, v: w == v)
+    stage(lambda w, v: stem(w) == stem(v))
+    if wordnet is not None:
+        from itertools import chain
+
+        def synonyms(word):
+            return set(
+                chain.from_iterable(
+                    (lemma.name() for lemma in synset.lemmas()
+                     if lemma.name().find("_") < 0)
+                    for synset in wordnet.synsets(word)
+                )
+            ).union({word})
+
+        stage(lambda w, v: v in synonyms(w))
+    return sorted(pairs)
 
 
 def _meteor_single(pred: List[str], ref: List[str]) -> float:
-    # greedy position-preserving exact alignment
-    used_ref = [False] * len(ref)
-    pairs = []
-    for i, w in enumerate(pred):
-        for j, v in enumerate(ref):
-            if not used_ref[j] and w == v:
-                used_ref[j] = True
-                pairs.append((i, j))
-                break
+    pairs = _align(pred, ref)
     m = len(pairs)
     if m == 0:
         return 0.0
@@ -261,7 +336,6 @@ def _meteor_single(pred: List[str], ref: List[str]) -> float:
     recall = m / len(ref)
     fmean = precision * recall / (0.9 * precision + 0.1 * recall)
     # fragmentation: count chunks of contiguous, order-preserving matches
-    pairs.sort()
     chunks = 1
     for (i1, j1), (i2, j2) in zip(pairs, pairs[1:]):
         if not (i2 == i1 + 1 and j2 == j1 + 1):
@@ -272,7 +346,8 @@ def _meteor_single(pred: List[str], ref: List[str]) -> float:
 
 def meteor(predictions: List[str], references: List[str]) -> float:
     scores = [
-        _meteor_single(p.split(), r.split()) for p, r in zip(predictions, references)
+        _meteor_single(p.lower().split(), r.lower().split())
+        for p, r in zip(predictions, references)
     ]
     return sum(scores) / max(len(scores), 1)
 

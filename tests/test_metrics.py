@@ -4,6 +4,7 @@
 against hand-computed cases.)"""
 
 import numpy as np
+import pytest
 
 from aat_tpu.training import metrics as M
 
@@ -70,3 +71,44 @@ def test_compute_metrics_facade():
     assert out["wer"] == 0.0
     assert out["evaluate_bleu"] > 99.0
     assert out["evaluate_rouge1"] == 1.0
+
+
+def test_meteor_stem_matching():
+    """Porter-stem stage: 'running' aligns with 'run' (the reference's nltk
+    meteor stems before giving up on a word)."""
+    pytest.importorskip("nltk")
+    M._STEM = None  # reset backend cache
+    s_exact = M.meteor(["the cat sat"], ["the cat sat"])
+    s_stem = M.meteor(["the cats sitting"], ["the cat sits"])
+    assert s_stem > 0.9, s_stem  # all three words align via stems
+    assert s_exact > s_stem - 1e-9
+
+
+def test_meteor_matches_nltk_without_wordnet(monkeypatch):
+    """Oracle parity vs nltk.translate.meteor_score with the WordNet stage
+    neutralized (no corpus data in this env) — exact + stem stages and the
+    fmean/fragmentation math must agree to float precision."""
+    nltk = pytest.importorskip("nltk")
+    import nltk.translate.meteor_score as ms
+
+    class _NoSyn:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    monkeypatch.setattr(M, "_WORDNET", None)
+
+    cases = [
+        ("the quick brown fox jumps", "the fast brown foxes jumped high"),
+        ("a b c d", "d c b a"),
+        ("running dogs barked loudly", "the running dog barks loud"),
+        ("completely different words here", "nothing alike at all whatsoever"),
+        ("it is a guide to action", "it is a guide to action which ensures"),
+    ]
+    for hyp, ref in cases:
+        ours = M.meteor([hyp], [ref])
+        # nltk binds the real wordnet as a default argument — pass the
+        # empty stub explicitly so both sides skip the synonym stage
+        theirs = ms.meteor_score([ref.split()], hyp.split(), wordnet=_NoSyn())
+        assert abs(ours - theirs) < 1e-9, (hyp, ref, ours, theirs)
+    M._WORDNET = "unset"
