@@ -41,6 +41,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp")))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for microbatches stacked on a leading accumulation axis
+    [A, B, ...]: the batch axis (axis 1) is data-parallel, the
+    accumulation axis is unsharded (it is scanned over in-graph)."""
+    return NamedSharding(mesh, P(None, ("dp", "fsdp")))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

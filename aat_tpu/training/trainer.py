@@ -52,6 +52,27 @@ class TrainState:
     opt_state: Any
 
 
+def _merge_bn_running_stats(new_params, ae_bn):
+    """Overwrite the EfficientNet BN running-stat leaves of ``new_params``
+    with the EMA'd tree ``ae_bn``; the optimizer owns every other
+    audio_encoder leaf (running stats get zero grads, so the sets are
+    disjoint)."""
+
+    def pick(path, new_leaf, bn_leaf):
+        keys = [str(p.key) for p in path if hasattr(p, "key")]
+        if keys and keys[-1] in ("mean", "var") and any(
+            k.endswith("bn") for k in keys
+        ):
+            return bn_leaf
+        return new_leaf
+
+    new_params = dict(new_params)
+    new_params["audio_encoder"] = jax.tree_util.tree_map_with_path(
+        pick, new_params["audio_encoder"], ae_bn
+    )
+    return new_params
+
+
 def caption_cross_entropy(
     logits: jnp.ndarray,
     input_ids: jnp.ndarray,
@@ -93,7 +114,9 @@ class AATTrainer:
         self.compute_metrics = compute_metrics
         self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))
 
-        self.schedule = warmup_linear_schedule(
+        # learning_rate=None → Adafactor relative-step mode (fairseq
+        # default, reference optimizers.py:34-35): no external schedule
+        self.schedule = None if config.learning_rate is None else warmup_linear_schedule(
             config.learning_rate,
             config.warmup_steps,
             config.max_steps or 100000,
@@ -115,6 +138,18 @@ class AATTrainer:
         self._grad_step = jax.jit(self._make_grad_step())
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._make_eval_step())
+        # fused path: grad-accum scan + optimizer update in ONE dispatch —
+        # on a remoted TPU backend every jitted call pays a relay round
+        # trip, so a step of A microbatches costs A+1 dispatches on the
+        # loop path but 1 here (plus the per-microbatch eager fold_ins the
+        # loop pays for dropout keys)
+        self._fused_step = jax.jit(self._make_fused_step(), donate_argnums=(0, 1))
+        self._fused_step1 = jax.jit(self._make_fused_step1(), donate_argnums=(0, 1))
+        # train-mode dropout: one base key, folded with (step, microbatch)
+        # per grad step; eval/generation never pass a key (deterministic)
+        self._dropout_base = jax.random.PRNGKey(config.seed)
+        # lazily jitted EfficientNet BN running-stat EMA fold (melspec path)
+        self._bn_fold = None
 
     def _build_tx(self, params):
         cfg = self.config
@@ -220,10 +255,19 @@ class AATTrainer:
             p["lm_decoder"] = jax.lax.stop_gradient(params["lm_decoder"])
         return p
 
-    def _assemble_and_forward(self, params, batch):
+    def _assemble_and_forward(self, params, batch, dropout_rng=None, train=False):
+        """→ (logits, inputs, bn_stats). ``bn_stats`` is ``{}`` except on
+        the EfficientNet path with ``train=True``, where it carries the
+        batch BN statistics for the running-stat EMA (torch ``.train()``
+        batch-norm semantics — the reference's HF Trainer keeps the model
+        in train mode, so BN uses batch stats during training)."""
         model = self.model
         compute_dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         params = self._cast_for_compute(self._stop_grad_frozen(params))
+        k_enc = k_proj = None
+        if dropout_rng is not None:
+            k_enc, k_proj = jax.random.split(dropout_rng)
+        bn_stats = {}
 
         if "raw_waveforms" in batch:
             batch = self._segment_on_device(batch)
@@ -234,10 +278,16 @@ class AATTrainer:
             mels = batch["batched_segments_melspectrograms"]
             b, s = mels.shape[:2]
             seg_mask = batch["segments_boarders_attention_mask"].reshape(b * s)
-            audio_embeds, frame_mask = model.encode_audio_melspec(
-                params, mels.reshape(b * s, *mels.shape[2:]).astype(compute_dtype),
-                seg_mask,
-            )
+            if train:
+                audio_embeds, frame_mask, bn_stats = model.encode_audio_melspec(
+                    params, mels.reshape(b * s, *mels.shape[2:]).astype(compute_dtype),
+                    seg_mask, train=True,
+                )
+            else:
+                audio_embeds, frame_mask = model.encode_audio_melspec(
+                    params, mels.reshape(b * s, *mels.shape[2:]).astype(compute_dtype),
+                    seg_mask,
+                )
             segments_count = s
         elif "batched_segments" in batch:
             # segmented path (reference AATTrainerSegmentation :663-730):
@@ -249,7 +299,8 @@ class AATTrainer:
             seg_mask = batch["segments_boarders_attention_mask"].reshape(b * s)
             segments_count = s
             audio_embeds, frame_mask = model.encode_audio(
-                params, waveforms.astype(compute_dtype), wf_mask, seg_mask
+                params, waveforms.astype(compute_dtype), wf_mask, seg_mask,
+                dropout_rng=k_enc,
             )
         else:
             # whole-utterance path (reference AATTrainer :127-173)
@@ -258,6 +309,7 @@ class AATTrainer:
                 batch["waveforms"].astype(compute_dtype),
                 batch["waveforms_attention_mask"],
                 None,
+                dropout_rng=k_enc,
             )
             segments_count = None
         inputs = model.prepare_audio_inputs(
@@ -267,9 +319,10 @@ class AATTrainer:
             input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
             segments_count=segments_count,
+            dropout_rng=k_proj,
         )
         logits = model.forward(params, inputs["inputs_embeds"], inputs["attention_mask"])
-        return logits, inputs
+        return logits, inputs, bn_stats
 
     def _debug_metrics(self, params, batch, inputs):
         """Reference compute_loss debug block (:209-238), in-graph."""
@@ -308,26 +361,32 @@ class AATTrainer:
     # ------------------------------------------------------------------
 
     def _make_grad_step(self):
-        def grad_step(params, batch):
+        def grad_step(params, batch, dropout_rng):
             def loss_fn(p):
-                logits, inputs = self._assemble_and_forward(p, batch)
+                logits, inputs, bn_stats = self._assemble_and_forward(
+                    p, batch, dropout_rng, train=True
+                )
                 loss = caption_cross_entropy(
                     logits, batch["input_ids"], batch["input_ids_attention_mask"]
                 )
-                return loss, inputs
+                return loss, (inputs, bn_stats)
 
-            (loss, inputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, (inputs, bn_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             metrics = self._debug_metrics(params, batch, inputs)
             metrics["train/loss"] = loss
             # reference training_step grad norms (:242-265)
             metrics["train/audio_tokens_emb_grad"] = optim_lib.global_norm(
                 grads["adapter"]["audio_tokens_embeddings"]
             )
-            if self.config.train_audio_encoder:
+            if self.config.train_audio_encoder and "feature_projection" in grads.get(
+                "audio_encoder", {}
+            ):
                 metrics["train/audio_encdoer_grad_norm"] = optim_lib.global_norm(
                     grads["audio_encoder"]["feature_projection"]["projection"]
                 )
-            return loss, grads, metrics
+            return loss, grads, metrics, bn_stats
 
         return grad_step
 
@@ -338,9 +397,100 @@ class AATTrainer:
 
         return apply_step
 
+    def _make_fused_step(self):
+        """One optimizer step as a single program: lax.scan over the
+        stacked microbatches (grad accumulation), average, tx.update —
+        everything the loop path does in A+1 dispatches, in one."""
+        grad_step = self._make_grad_step()
+
+        def fused_step(params, opt_state, stacked, step):
+            a = jax.tree.leaves(stacked)[0].shape[0]
+            has_melspec = "batched_segments_melspectrograms" in stacked
+            step_rng = jax.random.fold_in(self._dropout_base, step)
+
+            def one(idx, mb):
+                rng = jax.random.fold_in(step_rng, idx)
+                _, grads, metrics, bn_stats = grad_step(params, mb, rng)
+                return grads, metrics, bn_stats
+
+            def body(carry, xs):
+                acc_grads, acc_metrics, ae_bn = carry
+                idx, mb = xs
+                grads, metrics, bn_stats = one(idx, mb)
+                if has_melspec:
+                    from aat_tpu.models.efficientnet import apply_bn_updates
+
+                    ae_bn = apply_bn_updates(ae_bn, bn_stats)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+                return (acc_grads, acc_metrics, ae_bn), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            # metrics structure (shapes/dtypes only) for the scan init tree
+            metrics_shape = jax.eval_shape(
+                lambda: one(jnp.int32(0), jax.tree.map(lambda x: x[0], stacked))[1]
+            )
+            zero_metrics = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape
+            )
+            bn_init = params["audio_encoder"] if has_melspec else jnp.zeros(())
+            (acc_grads, acc_metrics, ae_bn), _ = jax.lax.scan(
+                body,
+                (zero_grads, zero_metrics, bn_init),
+                (jnp.arange(a), stacked),
+            )
+            if a > 1:
+                acc_grads = jax.tree.map(lambda g: g / a, acc_grads)
+                acc_metrics = jax.tree.map(lambda m: m / a, acc_metrics)
+            updates, new_opt_state = self.tx.update(acc_grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if has_melspec:
+                new_params = _merge_bn_running_stats(new_params, ae_bn)
+            return new_params, new_opt_state, acc_metrics
+
+        return fused_step
+
+    def _make_fused_step1(self):
+        """Single-microbatch fused step (the accum=1 fast path): no scan, no
+        host-side stacking — device-resident batches stay device-resident
+        and the whole optimizer step is one dispatch."""
+        grad_step = self._make_grad_step()
+
+        def fused_step1(params, opt_state, mb, step):
+            rng = jax.random.fold_in(
+                jax.random.fold_in(self._dropout_base, step), 0
+            )
+            _, grads, metrics, bn_stats = grad_step(params, mb, rng)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if bn_stats:
+                from aat_tpu.models.efficientnet import apply_bn_updates
+
+                ae_bn = apply_bn_updates(params["audio_encoder"], bn_stats)
+                new_params = _merge_bn_running_stats(new_params, ae_bn)
+            return new_params, new_opt_state, metrics
+
+        return fused_step1
+
+    def _fold_bn_stats(self, ae_params, stats_seq):
+        """EMA each microbatch's EfficientNet batch-norm statistics into the
+        running estimates, in order (torch updates running stats once per
+        train-mode forward). Jitted: ~100 per-channel EMAs per microbatch
+        would otherwise each pay a dispatch round-trip."""
+        if self._bn_fold is None:
+            from aat_tpu.models.efficientnet import apply_bn_updates
+
+            def fold(ae, seq):
+                for s in seq:
+                    ae = apply_bn_updates(ae, s)
+                return ae
+
+            self._bn_fold = jax.jit(fold)
+        return self._bn_fold(ae_params, stats_seq)
+
     def _make_eval_step(self):
         def eval_step(params, batch):
-            logits, inputs = self._assemble_and_forward(params, batch)
+            logits, inputs, _ = self._assemble_and_forward(params, batch)
             loss = caption_cross_entropy(
                 logits, batch["input_ids"], batch["input_ids_attention_mask"]
             )
@@ -358,8 +508,41 @@ class AATTrainer:
         for k, v in batch.items():
             if v is None or k == "segments_count":
                 continue
+            if isinstance(v, jax.Array):
+                # already device-resident (steady-state pipelines pre-shard);
+                # np.asarray here would round-trip through the host relay
+                out[k] = v if v.ndim == 0 else jax.device_put(v, sharding)
+                continue
             arr = np.asarray(v)
             out[k] = jax.device_put(arr, sharding) if arr.ndim > 0 else arr
+        return out
+
+    def _stack_microbatches(self, microbatches):
+        """[A microbatch dicts] → one stacked dict [A, ...] for the fused
+        step, or None when keys/shapes are ragged across microbatches
+        (falls back to the per-microbatch dispatch loop)."""
+        cleaned = []
+        for mb in microbatches:
+            if any(isinstance(v, jax.Array) for v in mb.values()):
+                # device-resident microbatches: stacking would round-trip
+                # through the host; use the per-microbatch loop instead
+                return None
+            cleaned.append({
+                k: np.asarray(v) for k, v in mb.items()
+                if v is not None and k != "segments_count"
+            })
+        keys = set(cleaned[0])
+        if any(set(d) != keys for d in cleaned):
+            return None
+        for k in keys:
+            if len({d[k].shape for d in cleaned}) != 1:
+                return None
+        stacked_sh = mesh_lib.stacked_batch_sharding(self.mesh)
+        repl = mesh_lib.replicated(self.mesh)
+        out = {}
+        for k in keys:
+            arr = np.stack([d[k] for d in cleaned])
+            out[k] = jax.device_put(arr, stacked_sh if arr.ndim > 1 else repl)
         return out
 
     def training_step(
@@ -369,12 +552,39 @@ class AATTrainer:
         microbatches. Returns host metrics when ``fetch_metrics`` (a device
         sync — pass False on non-logging steps to keep the device pipeline
         full). Non-finite grads are dropped in-graph on EVERY step via
-        ``optax.apply_if_finite`` (when ``skip_nonfinite_updates``)."""
+        ``optax.apply_if_finite`` (when ``skip_nonfinite_updates``).
+
+        Uniform-shape microbatches take the fused path: the whole step
+        (grad-accum scan + optimizer update) is one program and one
+        dispatch. Ragged microbatches fall back to a per-microbatch loop.
+        """
+        if len(microbatches) == 1:
+            mb = self._shard_batch(microbatches[0])
+            new_params, new_opt, acc_metrics = self._fused_step1(
+                self.state.params, self.state.opt_state, mb, self.state.step
+            )
+            self.state = TrainState(self.state.step + 1, new_params, new_opt)
+            return self._finish_metrics(acc_metrics, fetch_metrics)
+
+        stacked = self._stack_microbatches(microbatches)
+        if stacked is not None:
+            new_params, new_opt, acc_metrics = self._fused_step(
+                self.state.params, self.state.opt_state, stacked, self.state.step
+            )
+            self.state = TrainState(self.state.step + 1, new_params, new_opt)
+            return self._finish_metrics(acc_metrics, fetch_metrics)
+
         acc_grads = None
         acc_metrics = None
-        for mb in microbatches:
+        bn_stats_seq = []
+        for idx, mb in enumerate(microbatches):
             mb = self._shard_batch(mb)
-            loss, grads, metrics = self._grad_step(self.state.params, mb)
+            rng = jax.random.fold_in(
+                jax.random.fold_in(self._dropout_base, self.state.step), idx
+            )
+            loss, grads, metrics, bn_stats = self._grad_step(self.state.params, mb, rng)
+            if bn_stats:
+                bn_stats_seq.append(bn_stats)
             if acc_grads is None:
                 acc_grads, acc_metrics = grads, metrics
             else:
@@ -387,7 +597,17 @@ class AATTrainer:
         new_params, new_opt = self._apply_step(
             self.state.params, self.state.opt_state, acc_grads
         )
+        if bn_stats_seq:
+            # torch BN updates running stats on every train-mode forward;
+            # fold each microbatch's batch stats into the EMA in order
+            new_params = dict(new_params)
+            new_params["audio_encoder"] = self._fold_bn_stats(
+                new_params["audio_encoder"], tuple(bn_stats_seq)
+            )
         self.state = TrainState(self.state.step + 1, new_params, new_opt)
+        return self._finish_metrics(acc_metrics, fetch_metrics)
+
+    def _finish_metrics(self, acc_metrics, fetch_metrics: bool) -> Dict[str, float]:
         if not fetch_metrics:
             return {}
         # one bulk transfer: per-scalar fetches each pay a full round-trip
@@ -424,9 +644,12 @@ class AATTrainer:
         merged = optim_lib.merge_matching_state(old_opt_state, fresh)
         self.state = TrainState(self.state.step, self.state.params, merged)
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
-        # the grad step closed over the old freeze config (stop_gradient on
-        # the lm subtree); re-trace so decoder grads flow
+        # the grad/fused steps closed over the old freeze config
+        # (stop_gradient on the lm subtree) and the old tx; re-trace so
+        # decoder grads flow
         self._grad_step = jax.jit(self._make_grad_step())
+        self._fused_step = jax.jit(self._make_fused_step(), donate_argnums=(0, 1))
+        self._fused_step1 = jax.jit(self._make_fused_step1(), donate_argnums=(0, 1))
         logger.info("lm decoder unfrozen at step %d", self.state.step)
 
     def train(
@@ -469,7 +692,8 @@ class AATTrainer:
             step = self.state.step
             if step % cfg.logging_steps == 0:
                 metrics["train/step_time"] = (time.time() - t_start) / cfg.logging_steps
-                metrics["train/lr"] = float(self.schedule(step))
+                if self.schedule is not None:
+                    metrics["train/lr"] = float(self.schedule(step))
                 self.log_fn(metrics)
                 t_start = time.time()
             if cfg.eval_steps and step % cfg.eval_steps == 0 and eval_batches is not None:
@@ -562,18 +786,18 @@ class AATTrainer:
             # bucket caption length to multiples of 16 to bound recompiles
             max_new_tokens = int(-(-batch["input_ids"].shape[1] // 16) * 16)
         base = self.generation_config
+        eos = self.tokenizer.eos_token_id if self.tokenizer is not None else 2
+        # reference gen_params (trainer.py:568-580): early_stopping=True,
+        # pad_token_id=eos, forced_eos_token_id=eos
         gcfg = GenerationConfig(
             max_new_tokens=max_new_tokens,
             num_beams=base.num_beams if base else 3,
             repetition_penalty=base.repetition_penalty if base else 2.5,
             no_repeat_ngram_size=base.no_repeat_ngram_size if base else 4,
-            eos_token_id=(
-                self.tokenizer.eos_token_id if self.tokenizer is not None else 2
-            ),
-            pad_token_id=(
-                getattr(self.tokenizer, "pad_token_id", 0) or 0
-                if self.tokenizer is not None else 0
-            ),
+            eos_token_id=eos,
+            pad_token_id=eos,
+            early_stopping=base.early_stopping if base else True,
+            forced_eos_token_id=eos,
         )
         return np.asarray(generate(
             self.state.params["lm_decoder"], self.model.lm_config,
