@@ -50,3 +50,78 @@ def test_batch_sharding_runs_dp():
     sharded = jax.device_put(x, mesh_lib.batch_sharding(mesh))
     total = jax.jit(lambda v: v.sum())(sharded)
     assert float(total) == 8 * 16
+
+
+# ---------------------------------------------------------------------------
+# multi-device EQUIVALENCE: a sharded step must reproduce the single-device
+# step (same loss, same updated params) on the same global batch — SPMD
+# partitioning must not change the math (reference ground: accelerate DDP
+# gives identical global grads regardless of world size)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_trainer(mesh, dp, fsdp, tp, seed=0):
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.trainer import AATTrainer
+
+    config = AslmConfig(projection_type="linear", audio_encoder_hidden=32,
+                        lm_hidden=32, projection_hidden=48)
+    model = AslmModel(config, hub.tiny_test_config(), llm.tiny_test_config())
+    params = model.init_params(jax.random.PRNGKey(seed))
+    tcfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        gradient_accumulation_steps=1, train_audio_encoder=True,
+        train_lm_decoder=True, compute_dtype="float32",
+        mesh_dp=dp, mesh_fsdp=fsdp, mesh_tp=tp,
+        eval_steps=0, save_steps=0, logging_steps=1000,
+        output_dir="/tmp/aat_tpu_equiv",
+    )
+    return AATTrainer(model, params, tcfg, mesh=mesh)
+
+
+def _equiv_batch(rows=8):
+    rng = np.random.default_rng(7)
+    return {
+        "batched_segments": rng.normal(0, 0.3, (rows, 2, 400)).astype(np.float32),
+        "segments_waveforms_mask": np.ones((rows, 2, 400), np.int32),
+        "segments_boarders_attention_mask": np.ones((rows, 2), np.int32),
+        "input_ids": rng.integers(1, 100, (rows, 6)),
+        "attention_mask": np.ones((rows, 6), np.int32),
+        "input_ids_attention_mask": np.ones((rows, 6), np.int32),
+    }
+
+
+def _run_steps(trainer, batch, n=2):
+    for _ in range(n):
+        metrics = trainer.training_step([batch])
+    return metrics["train/loss"], jax.device_get(trainer.state.params)
+
+
+def _max_tree_diff(a, b):
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(leaves_a, leaves_b)
+    )
+
+
+def test_dp8_matches_single_device():
+    assert len(jax.devices()) >= 8
+    batch = _equiv_batch()
+    loss_1, params_1 = _run_steps(_tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1), batch)
+    loss_8, params_8 = _run_steps(_tiny_trainer(mesh_lib.make_mesh(8, 1, 1), 8, 1, 1), batch)
+    assert abs(loss_1 - loss_8) < 1e-5, (loss_1, loss_8)
+    assert _max_tree_diff(params_1, params_8) < 1e-4
+
+
+def test_dp_fsdp_tp_matches_single_device():
+    assert len(jax.devices()) >= 8
+    batch = _equiv_batch()
+    loss_1, params_1 = _run_steps(_tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1), batch)
+    loss_m, params_m = _run_steps(_tiny_trainer(mesh_lib.make_mesh(2, 2, 2), 2, 2, 2), batch)
+    assert abs(loss_1 - loss_m) < 1e-5, (loss_1, loss_m)
+    assert _max_tree_diff(params_1, params_m) < 1e-4
