@@ -213,3 +213,64 @@ def test_uniform_boundaries():
     np.testing.assert_array_equal(b, [4000, 8000, 10500])
     b = seg_ops.uniform_boundaries(8000, 4000)
     np.testing.assert_array_equal(b, [4000, 8000])
+
+
+def test_device_smoothing_tie_margins_quantified():
+    """Quantify when the device's re-associated f32 smoothing sum can flip a
+    boundary decision vs the host-exact sequential cumsum.
+
+    Speech-like audio must flip ZERO comparator decisions. Pathological
+    signals (perfectly periodic AM bursts, near-silence) contain genuine
+    sub-epsilon ties — there, flips are permitted but ONLY at decisions
+    whose host margin is inside the measured numeric divergence; a flip at
+    a well-separated decision would be a real bug, not a tie."""
+    import jax.numpy as jnp
+
+    eps = 1e-5  # the reference's greater-than-epsilon comparator
+    rng_master = np.random.default_rng(123)
+    max_dev = 0.0
+    speech_flips = 0
+    tie_flips = 0
+    for i in range(24):
+        kind = i % 4
+        r = np.random.default_rng(1000 + i)
+        if kind == 0:
+            w = make_speechlike_waveform(r, 2.0 + 3.0 * rng_master.random())
+        elif kind == 1:
+            w = r.normal(0, 0.3, int(16000 * 3)).astype(np.float32)
+        elif kind == 2:  # AM bursts: long flat envelopes -> genuine ties
+            t = np.arange(int(16000 * 4)) / 16000
+            w = (np.sin(2 * np.pi * 220 * t)
+                 * (0.5 + 0.5 * np.sign(np.sin(2 * np.pi * 1.3 * t)))).astype(np.float32)
+        else:  # near-silence with tiny noise floor
+            w = (r.normal(0, 1e-3, int(16000 * 2.5))).astype(np.float32)
+        w = mel_ops.normalize_waveform(w).astype(np.float32)
+        mels = mel_ops.log_mel_spectrogram_exact(w)
+        x_host = seg_ops.smoothed_amplitude_exact(mels)
+        x_dev = np.asarray(seg_ops.smoothed_amplitude(jnp.asarray(mels)))
+        n = min(len(x_host), len(x_dev))
+        x_host, x_dev = x_host[:n], x_dev[:n]
+        dev = float(np.abs(x_host - x_dev).max())
+        max_dev = max(max_dev, dev)
+        for shift in (1, -1):
+            a_h = x_host[1:-1] > np.roll(x_host, shift)[1:-1] + eps
+            a_d = x_dev[1:-1] > np.roll(x_dev, shift)[1:-1] + eps
+            flipped = a_h != a_d
+            margin = np.abs(x_host[1:-1] - np.roll(x_host, shift)[1:-1] - eps)
+            if kind == 0:
+                speech_flips += int(flipped.sum())
+            else:
+                tie_flips += int(flipped.sum())
+                # every flip must sit at a genuine near-tie: the decision
+                # margin is within 4x the measured device divergence
+                bad = flipped & (margin > 4 * max(dev, 1e-12))
+                assert not bad.any(), (
+                    f"kind={kind}: flip at margin "
+                    f"{margin[bad].min():.3e} >> divergence {dev:.3e}"
+                )
+    assert speech_flips == 0, (
+        f"{speech_flips} comparator flips on speech-like audio "
+        f"(max divergence {max_dev:.3e})"
+    )
+    # the divergence bound the docstring of smoothed_amplitude claims
+    assert max_dev < 1e-3, max_dev
