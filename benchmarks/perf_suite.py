@@ -226,10 +226,10 @@ def bench_train_step(quick):
     segmented batch) — BASELINE config 5. Reports audio-sec trained per
     wall-sec per chip.
 
-    Caveat: on this image's remoted backend each step pays ~1s of tunnel
-    dispatch latency regardless of compute (measured 1.1-1.7s/step with
-    ~0.1s-class device work); on locally attached TPUs the dispatch is
-    microseconds and throughput is compute-bound."""
+    The whole optimizer step (grad + update) is ONE dispatched program
+    (trainer fused path), so the remote relay costs one round trip per
+    step instead of the round-1 loop path's ~1s of per-step dispatch:
+    measured 0.11s/step steady-state with a sync every step."""
     import jax
 
     from aat_tpu.models import hubert as hub
@@ -273,7 +273,11 @@ def bench_train_step(quick):
     # resident (host->device transfers overlap compute); re-uploading per
     # step would measure the tunnel, not the step
     batch = trainer._shard_batch(batch)
-    trainer.training_step([batch])  # compile
+    # TWO warmup steps: the first compiles against the host-placed params,
+    # the second recompiles once more because the donated outputs come back
+    # with XLA-preferred layouts; steady state starts at step 3
+    trainer.training_step([batch])
+    trainer.training_step([batch])
     t0 = time.perf_counter()
     iters = 5
     for i in range(iters):
