@@ -264,7 +264,10 @@ def beam_generate(
         # max length (HF retires ALL top-K candidates at the final step)
         hits = (token == config.eos_token_id) | (step + 1 >= max_new)
 
-        # candidate sequences [B, 2K, L]: parent tokens + new token at `step`
+        # candidate sequences [B, 2K, L]: parent tokens + new token at
+        # `step`. (Only rank<K candidates can retire, but slicing to K here
+        # measured SLOWER on the v5e — the full-width gather fuses with the
+        # running-beam reorder; keep 2K.)
         parent = generated.reshape(b, k, max_new)[batch_idx[:, None], src_beam]
         cand_seqs = parent.at[:, :, step].set(token)
 

@@ -288,6 +288,48 @@ def bench_train_step(quick):
     report("aslm_train_step_bf16", dt, audio_seconds, "audio_s/s")
 
 
+def bench_generation(quick):
+    """Eval-path generation at SmolLM-135M shapes: greedy and the
+    reference's beam settings (beam 3, repetition 2.5, no-repeat-4-gram,
+    early_stopping, pad=eos, forced_eos — trainer.py:568-580). Static-shape
+    KV-cache decode; reports generated tokens per wall-sec."""
+    import jax
+
+    from aat_tpu.models import llama as llm
+    from aat_tpu.training.generate import (
+        GenerationConfig, beam_generate, greedy_generate,
+    )
+
+    cfg = llm.smollm_135m_config()
+    params = llm.init_llama_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+    b, prefix, new = (4, 64, 32) if quick else (8, 64, 64)
+    rng = np.random.default_rng(0)
+    embeds = jax.device_put(
+        rng.normal(0, 0.02, (b, prefix, cfg.hidden_size)).astype(np.float32))
+    mask = jax.device_put(np.ones((b, prefix), np.int64))
+
+    greedy_cfg = GenerationConfig(max_new_tokens=new, eos_token_id=-1, pad_token_id=0)
+    beam_cfg = GenerationConfig(
+        max_new_tokens=new, num_beams=3, repetition_penalty=2.5,
+        no_repeat_ngram_size=4, eos_token_id=0, pad_token_id=0,
+        early_stopping=True, forced_eos_token_id=0,
+    )
+    for name, fn, gcfg in (
+        ("generation_greedy", greedy_generate, greedy_cfg),
+        ("generation_beam3_reference_settings", beam_generate, beam_cfg),
+    ):
+        out = fn(params, cfg, embeds, mask, gcfg)
+        _ = int(np.asarray(out)[0, 0])  # force completion
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(params, cfg, embeds, mask, gcfg)
+            _ = int(np.asarray(out)[0, 0])
+            dt = min(dt, time.perf_counter() - t0)
+        report(name, dt, b * new, "tok/s")
+
+
 def main():
     from aat_tpu.utils.cache import enable_compilation_cache
 
@@ -305,6 +347,7 @@ def main():
         "attention": bench_attention,
         "vq": bench_vq,
         "train_step": bench_train_step,
+        "generation": bench_generation,
     }
     for name, fn in benches.items():
         if args.only and name != args.only:

@@ -60,7 +60,9 @@ def test_batch_sharding_runs_dp():
 # ---------------------------------------------------------------------------
 
 
-def _tiny_trainer(mesh, dp, fsdp, tp, seed=0):
+def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0):
+    import dataclasses
+
     from aat_tpu.models import hubert as hub
     from aat_tpu.models import llama as llm
     from aat_tpu.models.aslm import AslmConfig, AslmModel
@@ -69,7 +71,10 @@ def _tiny_trainer(mesh, dp, fsdp, tp, seed=0):
 
     config = AslmConfig(projection_type="linear", audio_encoder_hidden=32,
                         lm_hidden=32, projection_hidden=48)
-    model = AslmModel(config, hub.tiny_test_config(), llm.tiny_test_config())
+    audio_cfg = dataclasses.replace(
+        hub.tiny_test_config(), hidden_dropout=dropout, attention_dropout=dropout
+    )
+    model = AslmModel(config, audio_cfg, llm.tiny_test_config())
     params = model.init_params(jax.random.PRNGKey(seed))
     tcfg = TrainingConfig(
         learning_rate=1e-3, warmup_steps=2, max_steps=10,
@@ -125,3 +130,18 @@ def test_dp_fsdp_tp_matches_single_device():
     loss_m, params_m = _run_steps(_tiny_trainer(mesh_lib.make_mesh(2, 2, 2), 2, 2, 2), batch)
     assert abs(loss_1 - loss_m) < 1e-5, (loss_1, loss_m)
     assert _max_tree_diff(params_1, params_m) < 1e-4
+
+
+def test_dp8_with_dropout_matches_single_device():
+    """Train-mode dropout must be sharding-invariant: jax's partitionable
+    threefry makes random bits a function of (key, position), independent
+    of the mesh — so a dp=8 dropout-active step reproduces the 1-device
+    step exactly like the deterministic case does."""
+    assert len(jax.devices()) >= 8
+    batch = _equiv_batch()
+    loss_1, params_1 = _run_steps(
+        _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1, dropout=0.2), batch)
+    loss_8, params_8 = _run_steps(
+        _tiny_trainer(mesh_lib.make_mesh(8, 1, 1), 8, 1, 1, dropout=0.2), batch)
+    assert abs(loss_1 - loss_8) < 1e-5, (loss_1, loss_8)
+    assert _max_tree_diff(params_1, params_8) < 1e-4
