@@ -49,6 +49,8 @@ class BatchIterator:
         seed: int = 42,
         prefetch: int = 2,
         is_validation: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
         self.items = items
         self.collate_fn = collate_fn
@@ -58,17 +60,27 @@ class BatchIterator:
         self.seed = seed
         self.prefetch = prefetch
         self.is_validation = is_validation
+        # multihost data parallelism: each process iterates a distinct,
+        # equal-size interleaved shard of the same seeded permutation
+        # (accelerate/DistributedSampler semantics — every host must yield
+        # the same number of batches so collective steps stay in lockstep)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._epoch = 0
         self._accepts_is_validation = None
 
     def __len__(self):
-        n = len(self.items)
+        n = len(self.items) // self.num_shards if self.num_shards > 1 else len(self.items)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_batches(self) -> List[np.ndarray]:
         idx = np.arange(len(self.items))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        if self.num_shards > 1:
+            # truncate to a multiple of num_shards so every shard is equal
+            usable = (len(idx) // self.num_shards) * self.num_shards
+            idx = idx[self.shard_index:usable:self.num_shards]
         batches = []
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i : i + self.batch_size]
@@ -133,15 +145,30 @@ def build_dataloaders(
     few_train_samples: Optional[int] = None,
     few_val_samples: Optional[int] = None,
     seed: int = 42,
+    shard_index: Optional[int] = None,
+    num_shards: Optional[int] = None,
 ):
     """Train/val iterator pair (reference build_dataloaders,
-    dataloaders.py:93-111)."""
+    dataloaders.py:93-111).
+
+    ``shard_index``/``num_shards`` default to the jax process topology when
+    running multihost (each host feeds its own interleaved dataset shard;
+    the trainer assembles the global batch from per-process shards)."""
+    if shard_index is None or num_shards is None:
+        try:
+            import jax
+
+            shard_index = jax.process_index() if shard_index is None else shard_index
+            num_shards = jax.process_count() if num_shards is None else num_shards
+        except Exception:
+            shard_index, num_shards = 0, 1
     if few_train_samples is not None:
         train_items = train_items[:few_train_samples]
     if few_val_samples is not None:
         val_items = val_items[:few_val_samples]
     train = BatchIterator(
-        train_items, collate_fn, batch_size, shuffle=True, drop_last=True, seed=seed
+        train_items, collate_fn, batch_size, shuffle=True, drop_last=True, seed=seed,
+        shard_index=shard_index, num_shards=num_shards,
     )
     val = BatchIterator(
         val_items,
@@ -150,5 +177,7 @@ def build_dataloaders(
         shuffle=False,
         drop_last=False,
         is_validation=True,
+        shard_index=shard_index,
+        num_shards=num_shards,
     )
     return train, val

@@ -504,6 +504,7 @@ class AATTrainer:
 
     def _shard_batch(self, batch):
         sharding = mesh_lib.batch_sharding(self.mesh)
+        multihost = jax.process_count() > 1
         out = {}
         for k, v in batch.items():
             if v is None or k == "segments_count":
@@ -514,7 +515,16 @@ class AATTrainer:
                 out[k] = v if v.ndim == 0 else jax.device_put(v, sharding)
                 continue
             arr = np.asarray(v)
-            out[k] = jax.device_put(arr, sharding) if arr.ndim > 0 else arr
+            if arr.ndim == 0:
+                out[k] = arr
+            elif multihost:
+                # each process holds its LOCAL slice of the global batch
+                # (the dataloader shards by process, data/dataloaders.py);
+                # assemble the global array from per-process shards without
+                # gathering through any single host
+                out[k] = jax.make_array_from_process_local_data(sharding, arr)
+            else:
+                out[k] = jax.device_put(arr, sharding)
         return out
 
     def _stack_microbatches(self, microbatches):

@@ -86,3 +86,34 @@ def test_jsonl_tracker(tmp_path, monkeypatch):
     assert lines[0]["_config"]["lr"] == 0.1
     assert lines[1]["train/loss"] == 1.5
     assert lines[2]["_step"] == 2 and lines[2]["wer"] == 0.4
+
+
+def test_batch_iterator_process_sharding():
+    """Multihost semantics: shards partition one seeded permutation into
+    equal, disjoint, deterministic per-process streams (every host yields
+    the same number of batches so collective steps stay in lockstep)."""
+    from aat_tpu.data.dataloaders import BatchIterator
+
+    items = list(range(103))
+    collate = lambda batch: {"ids": np.asarray(batch)}  # noqa: E731
+    shards = [
+        BatchIterator(items, collate, batch_size=5, shuffle=True, seed=7,
+                      prefetch=0, shard_index=i, num_shards=4)
+        for i in range(4)
+    ]
+    outs = [[b["ids"] for b in it] for it in shards]
+    lens = {len(o) for o in outs}
+    assert lens == {len(shards[0])}  # equal batch counts across shards
+    seen = [set(np.concatenate(o).tolist()) for o in outs]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not (seen[i] & seen[j])  # disjoint
+    union = set().union(*seen)
+    assert union <= set(items)
+    # equal shard sizes: 103 -> 100 usable -> 25 each -> 5 batches of 5
+    assert all(len(s) == 25 for s in seen)
+    # determinism per epoch counter
+    again = BatchIterator(items, collate, batch_size=5, shuffle=True, seed=7,
+                          prefetch=0, shard_index=2, num_shards=4)
+    np.testing.assert_array_equal(
+        np.concatenate([b["ids"] for b in again]), np.concatenate(outs[2]))
