@@ -284,23 +284,33 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b * h, tp, d), q.dtype)
 
+    if causal:
+        # clamp the k-block index on skipped (fully-above-diagonal) steps to
+        # the last needed block: a repeated block index elides the DMA, so
+        # skipped grid steps cost neither compute (pl.when) nor bandwidth
+        def kclamp(j, n, bq=bq, bk=bk):
+            return jnp.minimum(n, (j * bq + bq - 1) // bk)
+    else:
+        def kclamp(j, n):
+            return n
+
     result = pl.pallas_call(
         kernel,
         grid=(b * h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, n),
+            pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, kclamp(j, n)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d),
                          lambda i, j, n, h=h, rep=rep, kvh=kvh:
-                         ((i // h) * kvh + (i % h) // rep, n, 0),
+                         ((i // h) * kvh + (i % h) // rep, kclamp(j, n), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d),
                          lambda i, j, n, h=h, rep=rep, kvh=kvh:
-                         ((i // h) * kvh + (i % h) // rep, n, 0),
+                         ((i // h) * kvh + (i % h) // rep, kclamp(j, n), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -463,24 +473,58 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     delta = _pad_to(delta.reshape(b * h, t), tp, axis=1)
     delta = jnp.broadcast_to(delta[..., None], (b * h, tp, _LANES))
 
-    kv_map = lambda i, j, n, h=h, rep=rep, kvh=kvh: (
-        (i // h) * kvh + (i % h) // rep, n, 0)
+    # causal block-copy elision (same trick as the forward): clamp the
+    # k-block index on above-diagonal steps (dq kernel, k innermost) and the
+    # q-block index on below-threshold steps (dkv kernel, q innermost) — a
+    # repeated block index skips the DMA, pl.when already skips the compute
+    if causal:
+        def kclamp(j, n, bq=bq, bk=bk):
+            return jnp.minimum(n, (j * bq + bq - 1) // bk)
+
+        def jclamp(j, n, bq=bq, bk=bk):
+            return jnp.maximum(j, (n * bk) // bq)
+    else:
+        def kclamp(j, n):
+            return n
+
+        def jclamp(j, n):
+            return j
+
+    def dq_kv_map(i, j, n, h=h, rep=rep, kvh=kvh):
+        return ((i // h) * kvh + (i % h) // rep, kclamp(j, n), 0)
+
+    def dkv_kv_map(i, j, n, h=h, rep=rep, kvh=kvh):
+        return ((i // h) * kvh + (i % h) // rep, n, 0)
 
     seed_spec = pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
                              memory_space=pltpu.SMEM)
-    common_in_specs = [
-        pl.BlockSpec((1, 1, bk), lambda i, j, n: (i // h, 0, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, d), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, d), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bq, _LANES), lambda i, j, n: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bq, _LANES), lambda i, j, n: (i, j, 0),
-                     memory_space=pltpu.VMEM),
+
+    def q_side_specs(jmap):
+        """bias/q/k/v/do/lse/delta specs with a per-kernel q-block map."""
+        return {
+            "bias_dq": pl.BlockSpec(
+                (1, 1, bk), lambda i, j, n: (i // h, 0, kclamp(j, n)),
+                memory_space=pltpu.VMEM),
+            "bias_dkv": pl.BlockSpec(
+                (1, 1, bk), lambda i, j, n: (i // h, 0, n),
+                memory_space=pltpu.VMEM),
+            "q": pl.BlockSpec((1, bq, d), lambda i, j, n: (i, jmap(j, n), 0),
+                              memory_space=pltpu.VMEM),
+            "lanes": pl.BlockSpec(
+                (1, bq, _LANES), lambda i, j, n: (i, jmap(j, n), 0),
+                memory_space=pltpu.VMEM),
+        }
+
+    ident = q_side_specs(lambda j, n: j)
+    dq_in_specs = [
+        seed_spec,
+        ident["bias_dq"],
+        ident["q"],
+        pl.BlockSpec((1, bk, d), dq_kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), dq_kv_map, memory_space=pltpu.VMEM),
+        ident["q"],
+        ident["lanes"],
+        ident["lanes"],
     ]
 
     dq = pl.pallas_call(
@@ -488,7 +532,7 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
                           block_k=bk, nk=nk, sm_scale=sm_scale,
                           dropout_rate=dropout_rate, s_stride=s_stride),
         grid=(b * h, nq, nk),
-        in_specs=[seed_spec] + common_in_specs,
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
@@ -502,16 +546,24 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
         interpret=_interpret(),
     )(seed, bias, qf, kf, vf, dof, lse, delta)
 
-    # dkv grid: (bh, k-tiles, q-tiles) — remap the spec index order
-    def _swap(spec_map):
-        return lambda i, n, j: spec_map(i, j, n)
+    # dkv grid: (bh, k-tiles, q-tiles) — remap the spec index order and
+    # clamp the q-side block maps for causal copy elision
+    clamped = q_side_specs(jclamp)
+
+    def _swap(spec):
+        return pl.BlockSpec(spec.block_shape,
+                            lambda i, n, j, m=spec.index_map: m(i, j, n),
+                            memory_space=pltpu.VMEM)
 
     dkv_in_specs = [
-        pl.BlockSpec((1, 1), lambda i, n, j: (0, 0), memory_space=pltpu.SMEM)
-    ] + [
-        pl.BlockSpec(spec.block_shape, _swap(spec.index_map),
-                     memory_space=pltpu.VMEM)
-        for spec in common_in_specs
+        pl.BlockSpec((1, 1), lambda i, n, j: (0, 0), memory_space=pltpu.SMEM),
+        _swap(clamped["bias_dkv"]),
+        _swap(clamped["q"]),
+        _swap(pl.BlockSpec((1, bk, d), dkv_kv_map, memory_space=pltpu.VMEM)),
+        _swap(pl.BlockSpec((1, bk, d), dkv_kv_map, memory_space=pltpu.VMEM)),
+        _swap(clamped["q"]),
+        _swap(clamped["lanes"]),
+        _swap(clamped["lanes"]),
     ]
     dk_rep, dv_rep = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, block_q=bq,
