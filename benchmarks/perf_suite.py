@@ -288,6 +288,69 @@ def bench_train_step(quick):
     report("aslm_train_step_bf16", dt, audio_seconds, "audio_s/s")
 
 
+def bench_train_whole_utterance(quick):
+    """Whole-utterance training step (reference AATTrainer non-segmented
+    path): HuBERT-large over T≈1500 frames with encoder-layer remat, XLA
+    attention vs the fused Pallas kernel — the end-to-end training win of
+    the flash kernel shows at these sequence lengths (at 250 ms segments
+    T≈12 and attention is negligible)."""
+    import dataclasses
+
+    import jax
+
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.trainer import AATTrainer
+
+    bs, seconds, text_len = (2, 30.0, 32)
+    rng = np.random.default_rng(0)
+    lm_cfg = llm.smollm_135m_config()
+    batch = {
+        "waveforms": rng.normal(0, 0.3, (bs, int(seconds * 16000))).astype(np.float32),
+        "waveforms_attention_mask": np.ones((bs, int(seconds * 16000)), np.int32),
+        "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
+        "attention_mask": np.ones((bs, text_len), np.int32),
+        "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+    }
+    audio_seconds = bs * seconds
+
+    for impl in ("xla", "pallas"):
+        audio_cfg = dataclasses.replace(
+            hub.hubert_large_config(), attention_impl=impl, remat=True,
+            # isolate kernel throughput: no stochastic rounding differences
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, layerdrop=0.0,
+        )
+        config = AslmConfig(
+            projection_type="linear",
+            audio_encoder_hidden=audio_cfg.hidden_size,
+            lm_hidden=lm_cfg.hidden_size,
+        )
+        model = AslmModel(config, audio_cfg, lm_cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        tcfg = TrainingConfig(
+            learning_rate=1e-4, warmup_steps=10, max_steps=1000,
+            gradient_accumulation_steps=1,
+            train_audio_encoder=True, train_lm_decoder=False,
+            compute_dtype="bfloat16",
+            logging_steps=10**9, eval_steps=0, save_steps=0,
+            output_dir="/tmp/aat_bench_whole",
+        )
+        trainer = AATTrainer(model, params, tcfg)
+        sb = trainer._shard_batch(batch)
+        trainer.training_step([sb])
+        trainer.training_step([sb])  # second compile (donated layouts)
+        t0 = time.perf_counter()
+        iters = 5
+        for i in range(iters):
+            trainer.training_step([sb], fetch_metrics=(i == iters - 1))
+        dt = (time.perf_counter() - t0) / iters
+        report(f"whole_utterance_train_step_bf16_remat_{impl}", dt,
+               audio_seconds, "audio_s/s")
+
+
 def bench_generation(quick):
     """Eval-path generation at SmolLM-135M shapes: greedy and the
     reference's beam settings (beam 3, repetition 2.5, no-repeat-4-gram,
@@ -347,6 +410,7 @@ def main():
         "attention": bench_attention,
         "vq": bench_vq,
         "train_step": bench_train_step,
+        "train_whole_utterance": bench_train_whole_utterance,
         "generation": bench_generation,
     }
     for name, fn in benches.items():
