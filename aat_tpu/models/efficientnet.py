@@ -139,15 +139,17 @@ def _bn(x, p, batch_stats=None):
 
 
 def _batch_stats(x):
-    """Per-channel (mean, biased var, unbiased var) over (N, H, W) in f32
-    — the torch train-mode statistics (biased for normalization, unbiased
-    for the running-var EMA)."""
+    """Per-channel statistics over (N, H, W), computed in f32: the
+    compute-dtype (mean, biased var) pair normalizes the batch, while the
+    f32 (mean, unbiased var) pair feeds the running-stat EMA — torch keeps
+    running stats in f32 regardless of input dtype, so rounding the stored
+    mean to bf16 would accumulate drift the oracle doesn't have."""
     xf = x.astype(jnp.float32)
     n = x.shape[0] * x.shape[1] * x.shape[2]
     mean = jnp.mean(xf, axis=(0, 1, 2))
     var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
     unbiased = var * (n / max(n - 1, 1))
-    return mean.astype(x.dtype), var.astype(x.dtype), unbiased
+    return mean.astype(x.dtype), var.astype(x.dtype), mean, unbiased
 
 
 def _silu(x):
@@ -167,9 +169,9 @@ def efficientnet_features(params: dict, images: jnp.ndarray, train: bool = False
     def bn(x, p, slot, key):
         if not train:
             return _bn(x, p)
-        mean, var, unbiased = _batch_stats(x)
+        mean, var, mean32, unbiased = _batch_stats(x)
         slot[key] = {
-            "mean": jax.lax.stop_gradient(mean.astype(jnp.float32)),
+            "mean": jax.lax.stop_gradient(mean32),
             "var": jax.lax.stop_gradient(unbiased),
         }
         return _bn(x, p, batch_stats=(mean, var))

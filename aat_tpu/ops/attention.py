@@ -115,6 +115,17 @@ def _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride, rate):
     return u >= rate
 
 
+def _block_keep_mask(shape, seed_ref, head_idx, q_start, k_start, s_stride,
+                     rate):
+    """Keep-mask for a kernel block: the single source of the seed/position
+    keying, shared by the forward and both backward kernels so the masks
+    regenerate identically under any block tiling."""
+    seed_and_head = seed_ref[0, 0] + head_idx * _GOLDEN
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride, rate)
+
+
 def _apply_prob_dropout(p, seed_ref, head_idx, q_start, k_start, s_stride,
                         rate):
     """Inverted dropout on attention probabilities, inside the kernel.
@@ -123,10 +134,8 @@ def _apply_prob_dropout(p, seed_ref, head_idx, q_start, k_start, s_stride,
     HF Hubert attention_dropout / nn.MultiheadAttention dropout).
     ``head_idx`` must be read at kernel top level (pl.program_id inside a
     pl.when body breaks interpret mode)."""
-    seed_and_head = seed_ref[0, 0] + head_idx * _GOLDEN
-    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-    keep = _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride, rate)
+    keep = _block_keep_mask(p.shape, seed_ref, head_idx, q_start, k_start,
+                            s_stride, rate)
     return jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
 
 
@@ -363,11 +372,8 @@ def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     )
     p_v = p
     if dropout_rate > 0.0:
-        seed_and_head = seed_ref[0, 0] + head_idx * _GOLDEN
-        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-        keep = _keep_from_positions(seed_and_head, q_pos, k_pos, s_stride,
-                                    dropout_rate)
+        keep = _block_keep_mask(p.shape, seed_ref, head_idx, q_start,
+                                k_start, s_stride, dropout_rate)
         inv = 1.0 / (1.0 - dropout_rate)
         p_v = jnp.where(keep, p * inv, 0.0)
         dp = jnp.where(keep, dp * inv, 0.0)
@@ -629,6 +635,9 @@ def _reference_attention(q, k, v, key_mask, causal, sm_scale,
         allowed = allowed & (k_pos <= q_pos)[None, None]
     scores = jnp.where(allowed, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked rows: softmax of all-NEG_INF is uniform garbage; zero
+    # them to match the kernel (whose masked scores underflow exp to 0)
+    probs = jnp.where(jnp.any(allowed, axis=-1, keepdims=True), probs, 0.0)
     if dropout_rate > 0.0 and dropout_seed is not None:
         b, hh, t, s = probs.shape
         head = jnp.arange(b * hh, dtype=jnp.int32).reshape(b, hh, 1, 1)

@@ -549,10 +549,17 @@ class AATTrainer:
                 return None
         stacked_sh = mesh_lib.stacked_batch_sharding(self.mesh)
         repl = mesh_lib.replicated(self.mesh)
+        multihost = jax.process_count() > 1
         out = {}
         for k in keys:
             arr = np.stack([d[k] for d in cleaned])
-            out[k] = jax.device_put(arr, stacked_sh if arr.ndim > 1 else repl)
+            sh = stacked_sh if arr.ndim > 1 else repl
+            if multihost:
+                # arr is this process's LOCAL slice of the global batch —
+                # device_put would misread it as the global array
+                out[k] = jax.make_array_from_process_local_data(sh, arr)
+            else:
+                out[k] = jax.device_put(arr, sh)
         return out
 
     def training_step(
@@ -676,9 +683,17 @@ class AATTrainer:
             # run sees the data a fresh run would at this step (HF Trainer's
             # ignore_data_skip=False semantics). Only the within-epoch
             # position is recoverable from step alone.
-            consumed = self.state.step * cfg.gradient_accumulation_steps
             if hasattr(train_batches, "__len__") and len(train_batches) > 0:
-                skip_micro = consumed % len(train_batches)
+                # an epoch consumes steps_per_epoch * accum microbatches
+                # (the trailing partial accumulation group is discarded), so
+                # the within-epoch position is step % steps_per_epoch — a
+                # plain consumed % len(batches) drifts whenever accum does
+                # not divide the epoch length
+                steps_per_epoch = len(train_batches) // cfg.gradient_accumulation_steps
+                if steps_per_epoch > 0:
+                    skip_micro = (
+                        self.state.step % steps_per_epoch
+                    ) * cfg.gradient_accumulation_steps
             logger.info("resume: skipping %d microbatches", skip_micro)
         early_stopping = (
             EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_threshold)
@@ -688,6 +703,7 @@ class AATTrainer:
 
         micro: List[dict] = []
         last_eval_metric: Optional[float] = None
+        last_eval_step: Optional[int] = None
         t_start = time.time()
         for batch in train_batches:
             if skip_micro > 0:
@@ -710,12 +726,19 @@ class AATTrainer:
                 eval_metrics = self.evaluate(eval_batches())
                 self.log_fn(eval_metrics)
                 last_eval_metric = eval_metrics.get(cfg.metric_for_best_model)
+                last_eval_step = step
                 if early_stopping is not None and early_stopping.should_stop(eval_metrics):
                     logger.info("early stopping at step %d", step)
                     break
             if cfg.save_steps and step % cfg.save_steps == 0:
-                path = self.save_checkpoint(metric=last_eval_metric)
-                self._track_best(path, last_eval_metric)
+                # best-model credit only when the metric was measured on
+                # THESE weights: a stale metric from an earlier eval step
+                # would credit a checkpoint that never achieved it (HF
+                # requires save_steps to align with eval_steps for
+                # load_best_model_at_end for the same reason)
+                fresh_metric = last_eval_metric if last_eval_step == step else None
+                path = self.save_checkpoint(metric=fresh_metric)
+                self._track_best(path, fresh_metric)
             if cfg.max_steps is not None and step >= cfg.max_steps:
                 break
         return self.state
@@ -746,8 +769,12 @@ class AATTrainer:
             self.config.metric_for_best_model, self._best_metric,
             self._best_checkpoint,
         )
-        self.restore_checkpoint(self._best_checkpoint)
-        self.state = TrainState(step, self.state.params, self.state.opt_state)
+        opt_state = self.state.opt_state
+        self.restore_checkpoint(self._best_checkpoint, restore_opt_state=False)
+        # weights-only rollback: keep the final step AND the final optimizer
+        # state so a subsequent save_checkpoint() doesn't stamp mid-run
+        # moments with the final step number
+        self.state = TrainState(step, self.state.params, opt_state)
 
     def _prefix_inputs(self, params, batch):
         """Assemble [audio | prefix-text] embeds for generation (reference

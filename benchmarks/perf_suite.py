@@ -382,14 +382,10 @@ def bench_generation(quick):
         ("generation_greedy", greedy_generate, greedy_cfg),
         ("generation_beam3_reference_settings", beam_generate, beam_cfg),
     ):
-        out = fn(params, cfg, embeds, mask, gcfg)
-        _ = int(np.asarray(out)[0, 0])  # force completion
-        dt = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn(params, cfg, embeds, mask, gcfg)
-            _ = int(np.asarray(out)[0, 0])
-            dt = min(dt, time.perf_counter() - t0)
+        # timeit subtracts the ~35 ms relay fetch RTT (the methodology
+        # every other metric here uses)
+        dt = timeit(lambda q=fn, g=gcfg: q(params, cfg, embeds, mask, g),
+                    iters=5)
         report(name, dt, b * new, "tok/s")
 
 

@@ -153,11 +153,11 @@ def test_bn_train_mode_matches_torch():
         ref = tbn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
 
     p = {"scale": scale, "bias": bias, "mean": run_m, "var": run_v}
-    mean, var, unbiased = _batch_stats(jnp.asarray(x))
+    mean, var, mean32, unbiased = _batch_stats(jnp.asarray(x))
     ours = np.asarray(_bn(jnp.asarray(x), p, batch_stats=(mean, var)))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
-    stats = {"stem": {"bn": {"mean": mean.astype(jnp.float32), "var": unbiased}},
+    stats = {"stem": {"bn": {"mean": mean32, "var": unbiased}},
              "blocks": [], "head": {}}
     merged = apply_bn_updates({"stem": {"bn": p}, "blocks": [], "head": {}}, stats)
     np.testing.assert_allclose(
@@ -223,7 +223,7 @@ def test_mbconv_block_train_mode_matches_torch():
     from aat_tpu.models.efficientnet import _batch_stats, _bn, _conv2d
 
     def our_bn_train(h, bp):
-        mean, var, _ = _batch_stats(h)
+        mean, var, _, _ = _batch_stats(h)
         return _bn(h, bp, batch_stats=(mean, var))
 
     h = jnp.asarray(x)

@@ -460,3 +460,41 @@ def test_caption_cross_entropy_masks_padding():
         for t in range(1, 4):
             perfect = perfect.at[b, 10 - 4 + t - 1, caption[b, t]].set(30.0)
     assert float(caption_cross_entropy(perfect, ids, full_mask)) < 1e-3
+
+
+def test_resume_fast_forward_position(tmp_path):
+    """Resume data fast-forward with accum not dividing the epoch length:
+    5 batches at accum=2 -> 2 steps/epoch, 4 microbatches consumed per
+    epoch (the trailing partial group is discarded). A resume at step 2
+    (= exactly one epoch) must skip ZERO microbatches of the new epoch —
+    the old `consumed % len(batches)` formula skipped 4 of the 5."""
+    model = tiny_model()
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=2,
+        gradient_accumulation_steps=2, compute_dtype="float32",
+        train_audio_encoder=True, train_lm_decoder=False,
+        logging_steps=1000, eval_steps=0, save_steps=0,
+        output_dir=str(tmp_path / "resume_pos"),
+    )
+    t = AATTrainer(model, model.init_params(jax.random.PRNGKey(30)), cfg)
+    batches = [make_segmented_batch(np.random.default_rng(200 + i)) for i in range(5)]
+    t.train(batches)
+    assert t.state.step == 2
+    ckpt = t.save_checkpoint(str(tmp_path / "resume_pos" / "ckpt"))
+
+    t2 = AATTrainer(model, model.init_params(jax.random.PRNGKey(31)),
+                    TrainingConfig(**{**cfg.__dict__, "max_steps": 4}))
+    consumed = []
+
+    real_step = t2.training_step
+
+    def recording_step(micro, fetch_metrics=True):
+        consumed.append(len(micro))
+        return real_step(micro, fetch_metrics=fetch_metrics)
+
+    t2.training_step = recording_step
+    t2.train(batches, resume_from_checkpoint=ckpt)
+    # the resumed epoch must see 2 full accumulation groups (batches 0-3),
+    # i.e. it skipped nothing; with the old formula it would have seen none
+    assert consumed == [2, 2], consumed
+    assert t2.state.step == 4
