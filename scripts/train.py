@@ -161,13 +161,16 @@ def main():
         log_fn=tracker.log,
     )
 
+    import jax
+
+    shard = dict(shard_index=jax.process_index(), num_shards=jax.process_count())
     train_iter = BatchIterator(
         items, collate, config.per_device_train_batch_size,
-        shuffle=True, drop_last=True, seed=config.seed,
+        shuffle=True, drop_last=True, seed=config.seed, **shard,
     )
     val_iter = lambda: BatchIterator(  # noqa: E731
         val_items, collate, min(len(val_items), 20),
-        shuffle=False, drop_last=False, is_validation=True,
+        shuffle=False, drop_last=False, is_validation=True, **shard,
     )
 
     def run():
