@@ -63,6 +63,7 @@ def test_adafactor_freeze_mask():
     np.testing.assert_array_equal(np.asarray(updates["b"]), 0.0)
 
 
+@pytest.mark.slow
 def test_trainer_adafactor_end_to_end():
     """optimizer='adafactor' through AATTrainer: losses finite and falling."""
     from aat_tpu.models import hubert as hub

@@ -219,6 +219,7 @@ def test_attention_dropout_kernel_matches_xla_twin(monkeypatch, causal):
                                    rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_attention_dropout_statistics_and_eval_mode():
     rng = np.random.default_rng(12)
     q, k, v, mask = make_qkv(rng, b=2, h=2, t=32, s=32, d=8)

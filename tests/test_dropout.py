@@ -164,6 +164,7 @@ def test_pooling_dropout_train_eval():
     assert np.abs(draws.mean(0) - np.asarray(e1)).mean() / scale < 0.5
 
 
+@pytest.mark.slow
 def test_trainer_grad_step_applies_dropout():
     """End-to-end plumbing: with encoder dropout configured, different train
     steps see different dropout masks (losses differ on identical data);

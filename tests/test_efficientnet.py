@@ -40,6 +40,7 @@ def test_adapter_melspec_contract(params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_efficientnet_eval_with_generation():
     """Eval + beam generation through the melspec branch (reference
     efficient_net eval path)."""
@@ -87,6 +88,7 @@ def test_efficientnet_eval_with_generation():
     assert "wer" in metrics
 
 
+@pytest.mark.slow
 def test_efficientnet_training_step():
     from aat_tpu.models import llama as llm
     from aat_tpu.models.aslm import AslmConfig, AslmModel, PoolingConfig
@@ -239,6 +241,7 @@ def test_mbconv_block_train_mode_matches_torch():
     np.testing.assert_allclose(np.asarray(h), ref, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_trainer_step_updates_bn_running_stats():
     """A melspec-path training step must EMA the encoder's BN running stats
     (torch train()-mode semantics — even with the encoder frozen), while the

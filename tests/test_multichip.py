@@ -2,6 +2,7 @@
 full dp×fsdp×tp training step on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -9,6 +10,7 @@ import __graft_entry__ as graft
 from aat_tpu.parallel import mesh as mesh_lib
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     assert len(jax.devices()) >= 8
     graft.dryrun_multichip(8)
@@ -114,6 +116,7 @@ def _max_tree_diff(a, b):
     )
 
 
+@pytest.mark.slow
 def test_dp8_matches_single_device():
     assert len(jax.devices()) >= 8
     batch = _equiv_batch()
@@ -123,6 +126,7 @@ def test_dp8_matches_single_device():
     assert _max_tree_diff(params_1, params_8) < 1e-4
 
 
+@pytest.mark.slow
 def test_dp_fsdp_tp_matches_single_device():
     assert len(jax.devices()) >= 8
     batch = _equiv_batch()
@@ -132,6 +136,7 @@ def test_dp_fsdp_tp_matches_single_device():
     assert _max_tree_diff(params_1, params_m) < 1e-4
 
 
+@pytest.mark.slow
 def test_dp8_with_dropout_matches_single_device():
     """Train-mode dropout must be sharding-invariant: jax's partitionable
     threefry makes random bits a function of (key, position), independent

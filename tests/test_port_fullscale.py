@@ -25,6 +25,7 @@ from aat_tpu.models import llama as llm  # noqa: E402
 from aat_tpu.utils.port import port_hubert, port_llama  # noqa: E402
 
 
+@pytest.mark.slow
 def test_hubert_large_shape_port_parity():
     """Random torch HubertModel at the full hubert-large config (24 layers,
     1024 hidden, 16 heads, 512-dim conv stack, 128-tap weight-norm pos
@@ -69,6 +70,7 @@ def test_hubert_large_shape_port_parity():
     assert diff < 2e-4, f"hubert-large port diverges by {diff}"
 
 
+@pytest.mark.slow
 def test_smollm_135m_shape_port_parity():
     """Random torch LlamaForCausalLM at the full SmolLM-135M config
     (30 layers, 576 hidden, GQA 9 heads / 3 kv heads, vocab 49152, tied

@@ -117,6 +117,7 @@ def trainer():
     return AATTrainer(model, params, cfg)
 
 
+@pytest.mark.slow
 def test_overfit_tiny_batch(trainer):
     rng = np.random.default_rng(0)
     batch = make_segmented_batch(rng)
@@ -133,6 +134,7 @@ def test_overfit_tiny_batch(trainer):
     assert metrics["train/audio_encdoer_grad_norm"] > 0
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_step():
     model = tiny_model()
     params = model.init_params(jax.random.PRNGKey(1))
@@ -172,6 +174,7 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
     assert trainer.state.step == step_before
 
 
+@pytest.mark.slow
 def test_remat_matches_non_remat():
     import dataclasses
 
@@ -198,6 +201,7 @@ def test_remat_matches_non_remat():
     assert np.isfinite(float(norm)) and float(norm) > 0
 
 
+@pytest.mark.slow
 def test_nonfinite_loss_guard():
     model = tiny_model()
     params = model.init_params(jax.random.PRNGKey(2))
@@ -226,6 +230,7 @@ def test_nonfinite_loss_guard():
     np.testing.assert_array_equal(before, after)  # update was dropped
 
 
+@pytest.mark.slow
 def test_unfreeze_preserves_optimizer_moments(tmp_path):
     """unfreeze_lm_decoder must carry over accumulated Adam moments for the
     already-training subtrees (torch optimizers keep per-param state across a
@@ -308,6 +313,7 @@ def test_partial_adapter_checkpoint_restore(tmp_path):
     assert t.state.step == 7
 
 
+@pytest.mark.slow
 def test_resume_is_bitwise_identical(tmp_path):
     """Train N steps → checkpoint → resume in a FRESH trainer → the final
     params and optimizer state match an uninterrupted run bit-for-bit
@@ -406,6 +412,7 @@ def test_save_pretrained_filters_frozen_submodules(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_load_best_model_at_end(tmp_path):
     """finalize() reloads the checkpoint with the best tracked metric and
     never prunes it (reference load_best_model_at_end, trainer.py:63)."""
@@ -462,6 +469,7 @@ def test_caption_cross_entropy_masks_padding():
     assert float(caption_cross_entropy(perfect, ids, full_mask)) < 1e-3
 
 
+@pytest.mark.slow
 def test_resume_fast_forward_position(tmp_path):
     """Resume data fast-forward with accum not dividing the epoch length:
     5 batches at accum=2 -> 2 steps/epoch, 4 microbatches consumed per

@@ -2,6 +2,7 @@
 (reference unfreeze_lm_at_epoch, src/aat/training/config.py:44)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -11,6 +12,7 @@ from aat_tpu.training.config import TrainingConfig
 from aat_tpu.training.trainer import AATTrainer
 
 
+@pytest.mark.slow
 def test_unfreeze_lm_decoder_mid_run(tmp_path):
     model = tiny_model()
     params = model.init_params(jax.random.PRNGKey(9))
