@@ -282,6 +282,16 @@ def _meteor_backends():
         _STEM = _porter_stemmer()
     if _WORDNET == "unset":
         _WORDNET = _wordnet_or_none()
+        if _WORDNET is None:
+            import logging
+
+            # disclosed once at scoring time, not buried in a comment:
+            # scores can differ from the reference's by synonym matches
+            logging.getLogger(__name__).warning(
+                "METEOR: WordNet corpus data unavailable — synonym stage "
+                "skipped; scores may differ from nltk/evaluate METEOR by "
+                "synonym-only matches"
+            )
     return _STEM, _WORDNET
 
 

@@ -138,6 +138,7 @@ class AATTrainer:
         self._grad_step = jax.jit(self._make_grad_step())
         self._apply_step = jax.jit(self._make_apply_step(), donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._make_eval_step())
+        self._prefix_step = jax.jit(self._prefix_inputs)
         # fused path: grad-accum scan + optimizer update in ONE dispatch —
         # on a remoted TPU backend every jitted call pays a relay round
         # trip, so a step of A microbatches costs A+1 dispatches on the
@@ -674,11 +675,21 @@ class AATTrainer:
         train_batches: Iterable[dict],
         eval_batches: Optional[Callable[[], Iterable[dict]]] = None,
         resume_from_checkpoint: Optional[str] = None,
+        fast_forward: bool = False,
     ):
+        """Run one epoch over ``train_batches``. ``fast_forward`` skips the
+        microbatches a checkpoint-restored step count implies were already
+        consumed THIS epoch (the entry point handles whole completed epochs
+        by skipping epoch iterations and setting the iterator's shuffle
+        epoch — HF ``resume_from_checkpoint`` semantics,
+        reference trainer_train.py:156-162). ``resume_from_checkpoint``
+        restores in-place first, then fast-forwards."""
         cfg = self.config
         skip_micro = 0
         if resume_from_checkpoint:
             self.restore_checkpoint(resume_from_checkpoint)
+            fast_forward = True
+        if fast_forward:
             # fast-forward past already-consumed microbatches so the resumed
             # run sees the data a fresh run would at this step (HF Trainer's
             # ignore_data_skip=False semantics). Only the within-epoch
@@ -778,8 +789,15 @@ class AATTrainer:
 
     def _prefix_inputs(self, params, batch):
         """Assemble [audio | prefix-text] embeds for generation (reference
-        update_eval_set_kwargs_containers, trainer.py:556-566)."""
+        update_eval_set_kwargs_containers, trainer.py:556-566). Dispatched
+        jitted (``_prefix_step``): eager HuBERT here would pay one relay
+        round-trip per op on the remoted backend."""
         model = self.model
+        if "raw_waveforms" in batch:
+            # on-device datagen path (north-star config 5): evaluation uses
+            # the same raw-waveform batches training consumes (the reference
+            # evaluates the training collator's output, trainer.py:554-602)
+            batch = self._segment_on_device(batch)
         if "batched_segments_melspectrograms" in batch:
             mels = batch["batched_segments_melspectrograms"]
             b, s = mels.shape[:2]
@@ -811,14 +829,16 @@ class AATTrainer:
             segments_count=segments_count,
         )
 
-    def generate_for_batch(self, batch, max_new_tokens: Optional[int] = None):
+    def generate_for_batch(self, batch, max_new_tokens: Optional[int] = None,
+                           fetch: bool = True):
         """Beam-3 generation with the reference's eval settings
         (trainer.py:568-597): repetition penalty 2.5, no-repeat-4-gram,
-        max_new_tokens bounded by the caption length."""
+        max_new_tokens bounded by the caption length. ``fetch=False``
+        returns the device array (evaluate() fetches all batches at once)."""
         from aat_tpu.training.generate import GenerationConfig, generate
 
         sb = self._shard_batch(batch)
-        inputs = self._prefix_inputs(self.state.params, sb)
+        inputs = self._prefix_step(self.state.params, sb)
         if max_new_tokens is None:
             # bucket caption length to multiples of 16 to bound recompiles
             max_new_tokens = int(-(-batch["input_ids"].shape[1] // 16) * 16)
@@ -836,33 +856,67 @@ class AATTrainer:
             early_stopping=base.early_stopping if base else True,
             forced_eos_token_id=eos,
         )
-        return np.asarray(generate(
+        out = generate(
             self.state.params["lm_decoder"], self.model.lm_config,
             inputs["inputs_embeds"], inputs["attention_mask"], gcfg,
-        ))
+        )
+        return np.asarray(out) if fetch else out
 
     def evaluate(
         self, eval_batches: Iterable[dict], with_generation: Optional[bool] = None
     ) -> Dict[str, float]:
         if with_generation is None:
             with_generation = self.compute_metrics is not None
-        losses = []
+        device_losses = []  # device scalars: fetched ONCE after the loop —
+        # a float() per batch would pay a full host sync per eval batch
+        # (≥2N round trips on the ~35 ms-RTT remoted backend)
         generated: List[np.ndarray] = []
         references: List[np.ndarray] = []
         prefixes: List[np.ndarray] = []
+        multihost = jax.process_count() > 1
+        if multihost:
+            # eval batches assemble GLOBALLY (each host contributes its
+            # dataloader shard via make_array_from_process_local_data in
+            # _shard_batch), so every host computes the same global loss and
+            # generations — fetching them just needs replication (sharded
+            # global arrays are not host-fetchable). No cross-host gather of
+            # generations is needed; row alignment with references is by
+            # construction. (The reference reaches the same end state via
+            # accelerate's gather_for_metrics, trainer.py:365-383,425.)
+            from jax.sharding import PartitionSpec
+
+            from jax.sharding import NamedSharding
+
+            _rep = jax.jit(
+                lambda x: x,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )
         for batch in eval_batches:
             sb = self._shard_batch(batch)
             loss, logits = self._eval_step(self.state.params, sb)
-            losses.append(float(loss))
+            device_losses.append(loss)
             if with_generation:
-                generated.append(self.generate_for_batch(batch))
-                references.append(np.asarray(batch["input_ids"]))
-                prefixes.append(np.asarray(batch["prefix_input_ids"]))
+                gen = self.generate_for_batch(batch, fetch=False)
+                if multihost:
+                    generated.append(_rep(gen))
+                    references.append(np.asarray(_rep(sb["input_ids"])))
+                    prefixes.append(np.asarray(_rep(sb["prefix_input_ids"])))
+                else:
+                    generated.append(gen)
+                    references.append(np.asarray(batch["input_ids"]))
+                    prefixes.append(np.asarray(batch["prefix_input_ids"]))
+        # ONE bulk host transfer for the whole eval pass (losses + all
+        # generated ids) instead of ≥2 syncs per batch
+        losses, generated = jax.device_get((device_losses, generated))
+        losses = [float(x) for x in losses]
+        generated = [np.asarray(g) for g in generated]
         metrics = {"eval/loss": float(np.mean(losses)) if losses else float("nan")}
-        if jax.process_count() > 1:
+        if multihost:
             # global eval/loss: every host contributes its (sum, count); the
             # reference inherits this reduction from accelerate's
-            # gather_for_metrics (trainer.py:365-383,425)
+            # gather_for_metrics (trainer.py:365-383,425). With globally
+            # assembled batches the contributions are identical, so this is
+            # also a cross-host agreement check.
             from jax.experimental.multihost_utils import process_allgather
 
             sums = process_allgather(
@@ -879,32 +933,6 @@ class AATTrainer:
                 ])
 
             gen, refs, prefs = pad_cat(generated), pad_cat(references), pad_cat(prefixes)
-            if jax.process_count() > 1:
-                # multihost eval: gather every host's generations before
-                # scoring. Hosts can hold different batch counts and pad to
-                # different widths, so gather the per-host shapes first, pad
-                # everything to the global max, and strip the filler rows
-                # after the gather (allgather needs identical shapes).
-                from jax.experimental.multihost_utils import process_allgather
-
-                def gather_ragged(a, pad=0):
-                    shapes = process_allgather(np.asarray(a.shape))  # [P, 2]
-                    rows = int(shapes[:, 0].max())
-                    width = int(shapes[:, 1].max())
-                    padded = np.pad(
-                        a,
-                        ((0, rows - a.shape[0]), (0, width - a.shape[1])),
-                        constant_values=pad,
-                    )
-                    gathered = process_allgather(padded)  # [P, rows, width]
-                    return np.concatenate([
-                        gathered[p, : int(shapes[p, 0])]
-                        for p in range(gathered.shape[0])
-                    ])
-
-                gen, refs, prefs = (
-                    gather_ragged(gen), gather_ragged(refs), gather_ragged(prefs)
-                )
             metrics.update(self.compute_metrics(
                 generated_ids=gen, inputs_ids=refs, prefix_ids=prefs,
             ))
@@ -942,9 +970,20 @@ class AATTrainer:
             force=True,
         )
         ckptr.wait_until_finished()
+        # meta makes the checkpoint self-describing for resume: the freeze
+        # flags let a resuming run unfreeze the LM BEFORE restoring, so the
+        # optimizer-state template matches and Adam moments restore instead
+        # of re-initializing (HF resume_from_checkpoint fidelity)
+        meta = {
+            "step": self.state.step,
+            "train_lm_decoder": self.config.train_lm_decoder,
+            "train_audio_encoder": self.config.train_audio_encoder,
+        }
         if metric is not None:
+            meta[self.config.metric_for_best_model] = metric
+        if jax.process_index() == 0:  # single writer on multihost
             with open(os.path.join(path, "trainer_meta.json"), "w") as f:
-                json.dump({self.config.metric_for_best_model: metric}, f)
+                json.dump(meta, f)
         self._prune_checkpoints()
         logger.info("saved checkpoint %s", path)
         return path
@@ -954,10 +993,21 @@ class AATTrainer:
         submodules are omitted, exactly like the reference's filtered
         ``save_pretrained`` (modeling_aslm.py:387-393): the adapter
         (projection + audio BOS/EOS embeddings) always saves; the audio
-        encoder / LM decoder only when they were being trained. Restores
-        via ``restore_checkpoint(partial=True)`` against freshly built
-        frozen trees (``_keys_to_ignore_on_load_missing`` semantics)."""
+        encoder / LM decoder only when they were being trained.
+
+        The export is self-describing: a ``config.json`` with the full
+        Aslm/encoder/LM configs + tokenizer id is written alongside the
+        weights (the reference's ``save_pretrained`` persists a config.json
+        via HF ``PreTrainedModel``), so
+        :func:`aat_tpu.models.build.load_pretrained` rebuilds the model
+        without out-of-band knowledge. Missing (frozen) subtrees rebuild
+        from the recorded pretrained checkpoints
+        (``_keys_to_ignore_on_load_missing`` semantics)."""
+        import json
+
         import orbax.checkpoint as ocp
+
+        from aat_tpu.models.build import model_config_dict
 
         keep = {"adapter": self.state.params["adapter"]}
         if self.config.train_audio_encoder:
@@ -972,6 +1022,10 @@ class AATTrainer:
             force=True,
         )
         ckptr.wait_until_finished()
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(
+                model_config_dict(self.model, self.config, sorted(keep)), f, indent=2
+            )
         logger.info("saved filtered model (%s) to %s", sorted(keep), path)
         return path
 
@@ -981,7 +1035,7 @@ class AATTrainer:
         load_best_model_at_end)."""
         limit = self.config.save_total_limit
         base = self.config.output_dir
-        if not limit or not os.path.isdir(base):
+        if not limit or not os.path.isdir(base) or jax.process_index() != 0:
             return
         protected = (
             os.path.basename(self._best_checkpoint) if self._best_checkpoint else None
@@ -1063,6 +1117,18 @@ class AATTrainer:
             opt_state if opt_state is not None else self.tx.init(params),
         )
         logger.info("restored checkpoint %s at step %d", path, self.state.step)
+
+
+def read_checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Read a checkpoint's trainer_meta.json (step, freeze flags, metric).
+    Returns {} for pre-meta checkpoints."""
+    import json
+
+    meta_path = os.path.join(os.path.abspath(path), "trainer_meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 class EarlyStopping:

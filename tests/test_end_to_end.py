@@ -3,6 +3,7 @@ trainer → eval with beam generation + WER/BLEU metrics. Exercises the whole
 L1→L5 stack on a tiny model (hermetic, CPU)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -21,6 +22,7 @@ from aat_tpu.training.trainer import AATTrainerSegmentation
 from aat_tpu.utils.timing import RecordTimings
 
 
+@pytest.mark.slow
 def test_whole_utterance_training_path(rng, tmp_path):
     """segmentation='none' flow (reference AATTrainer +
     NoSegmentationAudioWaveformCollator, trainer_train.py:74-84): whole
@@ -62,6 +64,7 @@ def test_whole_utterance_training_path(rng, tmp_path):
     assert "wer" in metrics
 
 
+@pytest.mark.slow
 def test_on_device_datagen_training(rng, tmp_path):
     """North-star config 5: raw waveforms enter the jitted train step;
     segmentation + materialization + encoding + loss run with zero host
@@ -94,18 +97,34 @@ def test_on_device_datagen_training(rng, tmp_path):
         raw[i, : w.shape[-1]] = w
         lengths[i] = w.shape[-1]
     text = tokenizer(["<s> hello world </s>", "<s> foo bar baz </s>"], padding=True)
+    prefix = tokenizer(["<s>", "<s>"], padding=True)
     batch = {
         "raw_waveforms": raw,
         "raw_lengths": lengths,
         "input_ids": text["input_ids"],
         "attention_mask": text["attention_mask"],
         "input_ids_attention_mask": text["attention_mask"],
+        "prefix_input_ids": prefix["input_ids"],
+        "prefix_attention_mask": prefix["attention_mask"],
     }
     losses = [trainer.training_step([batch])["train/loss"] for _ in range(6)]
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
 
+    # evaluate(with_generation=True) must work on the SAME raw-waveform
+    # batches the step trains on (the reference evaluates its training
+    # collator's output, trainer.py:554-602) — the north-star config-5
+    # pipeline trains AND evals on one iterator
+    trainer.compute_metrics = ComputeMetrics(tokenizer)
+    trainer.generation_config = GenerationConfig(
+        num_beams=2, repetition_penalty=2.5, no_repeat_ngram_size=4
+    )
+    eval_metrics = trainer.evaluate([batch], with_generation=True)
+    assert np.isfinite(eval_metrics["eval/loss"])
+    assert "wer" in eval_metrics
 
+
+@pytest.mark.slow
 def test_full_pipeline_train_and_eval(rng, tmp_path):
     tokenizer = WordTokenizer()
     audio_tokenizer = AdaptiveAudioTokenizer.create(
