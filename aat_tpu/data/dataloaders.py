@@ -69,6 +69,13 @@ class BatchIterator:
         self._epoch = 0
         self._accepts_is_validation = None
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch (DistributedSampler.set_epoch semantics).
+        Required for cross-epoch resume: a resumed run skips completed
+        epochs without iterating them, so the auto-increment in ``__iter__``
+        alone would replay epoch 0's shuffle order."""
+        self._epoch = int(epoch)
+
     def __len__(self):
         n = len(self.items) // self.num_shards if self.num_shards > 1 else len(self.items)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

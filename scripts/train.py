@@ -174,12 +174,41 @@ def main():
     )
 
     def run():
-        for epoch in range(int(config.num_train_epochs)):
-            if config.unfreeze_lm_at_epoch is not None and epoch == config.unfreeze_lm_at_epoch:
+        # cross-epoch resume (HF resume_from_checkpoint semantics,
+        # reference trainer_train.py:156-162): restore once up front, derive
+        # the epoch position from the restored step, skip completed epochs
+        # (still firing unfreeze_lm_at_epoch for them), and fast-forward the
+        # within-epoch position of the interrupted epoch.
+        start_epoch = 0
+        resume = args.resume_from_checkpoint
+        if resume:
+            from aat_tpu.training.trainer import read_checkpoint_meta
+
+            meta = read_checkpoint_meta(resume)
+            if meta.get("train_lm_decoder") and not config.train_lm_decoder:
+                # the interrupted run had already unfrozen the LM: rebuild
+                # the optimizer template BEFORE restoring so Adam moments
+                # restore instead of re-initializing
                 trainer.unfreeze_lm_decoder()
+            trainer.restore_checkpoint(resume)
+            steps_per_epoch = len(train_iter) // max(
+                1, config.gradient_accumulation_steps
+            )
+            if steps_per_epoch > 0:
+                start_epoch = trainer.state.step // steps_per_epoch
+        for epoch in range(int(config.num_train_epochs)):
+            if (
+                config.unfreeze_lm_at_epoch is not None
+                and epoch == config.unfreeze_lm_at_epoch
+                and not config.train_lm_decoder
+            ):
+                trainer.unfreeze_lm_decoder()
+            if epoch < start_epoch:
+                continue
+            train_iter.set_epoch(epoch)
             trainer.train(
                 train_iter, val_iter,
-                resume_from_checkpoint=args.resume_from_checkpoint if epoch == 0 else None,
+                fast_forward=bool(resume) and epoch == start_epoch,
             )
         trainer.finalize()  # load_best_model_at_end (reference trainer.py:63)
         trainer.save_checkpoint()
