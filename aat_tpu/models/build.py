@@ -89,6 +89,101 @@ def build_tokenizer(config: TrainingConfig):
     return tokenizer
 
 
+def model_config_dict(model: AslmModel, config: TrainingConfig,
+                      saved_subtrees) -> dict:
+    """JSON-serializable description of an exported ASLM: every config
+    needed to rebuild it plus the tokenizer id (the reference persists this
+    as ``config.json`` through HF ``PreTrainedModel.save_pretrained``,
+    modeling_aslm.py:387-393)."""
+    import dataclasses
+
+    return {
+        "model_type": "aslm",
+        "aslm": dataclasses.asdict(model.config),
+        "audio_encoder_type": model.audio_encoder_type,
+        "audio_encoder_config": dataclasses.asdict(model.audio_encoder_config),
+        "lm_config": dataclasses.asdict(model.lm_config),
+        "audio_encoder_checkpoint": config.audio_encoder_checkpoint,
+        "lm_pretrained_model": config.lm_pretrained_model,
+        "saved_subtrees": list(saved_subtrees),
+    }
+
+
+def load_pretrained(
+    path: str, pretrained_missing: bool = False, seed: int = 0
+) -> Tuple[AslmModel, dict]:
+    """Rebuild an ASLM from a :meth:`AATTrainer.save_pretrained` export
+    using only the export's own ``config.json`` — no hand-supplied configs.
+
+    Subtrees absent from the export (they were frozen at save time) follow
+    ``_keys_to_ignore_on_load_missing`` semantics (reference
+    modeling_aslm.py:100): rebuilt from the recorded pretrained checkpoints
+    when ``pretrained_missing`` (needs network/torch), else random-init."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from aat_tpu.models.aslm import PoolingConfig
+
+    with open(os.path.join(os.path.abspath(path), "config.json")) as f:
+        desc = json.load(f)
+
+    aslm_kw = dict(desc["aslm"])
+    aslm_kw["pooling"] = PoolingConfig(**aslm_kw["pooling"])
+    aslm_cfg = AslmConfig(**aslm_kw)
+
+    def detuple(d):  # JSON turns tuples into lists; configs expect tuples
+        return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+    enc_type = desc["audio_encoder_type"]
+    if enc_type == "efficient_net":
+        from aat_tpu.models.efficientnet import EfficientNetConfig
+
+        enc_cfg = EfficientNetConfig(**detuple(desc["audio_encoder_config"]))
+    else:
+        enc_cfg = hub.HubertConfig(**detuple(desc["audio_encoder_config"]))
+    lm_cfg = llm.LlamaConfig(**detuple(desc["lm_config"]))
+
+    model = AslmModel(aslm_cfg, enc_cfg, lm_cfg, audio_encoder_type=enc_type)
+
+    saved = set(desc["saved_subtrees"])
+    missing = {"audio_encoder", "adapter", "lm_decoder"} - saved
+    if missing and pretrained_missing:
+        tc = TrainingConfig(
+            audio_encoder_type=enc_type,
+            audio_encoder_checkpoint=desc["audio_encoder_checkpoint"],
+            lm_pretrained_model=desc["lm_pretrained_model"],
+        )
+        params = {}
+        if "audio_encoder" in missing:
+            params["audio_encoder"], _ = build_audio_encoder(tc, pretrained=True)
+        if "lm_decoder" in missing:
+            params["lm_decoder"], _ = build_lm_decoder(tc, pretrained=True)
+        fresh = model.init_params(jax.random.PRNGKey(seed))
+        for k in ("audio_encoder", "adapter", "lm_decoder"):
+            params.setdefault(k, fresh[k])
+    else:
+        if missing:
+            logger.warning(
+                "export %s lacks %s; using random init "
+                "(pass pretrained_missing=True to port the recorded "
+                "checkpoints)", path, sorted(missing),
+            )
+        params = model.init_params(jax.random.PRNGKey(seed))
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(os.path.abspath(path), "state"),
+        target={"params": {k: params[k] for k in sorted(saved)}, "step": 0},
+    )
+    for k, subtree in restored["params"].items():
+        params[k] = subtree
+    logger.info("loaded pretrained ASLM from %s (saved subtrees: %s)",
+                path, sorted(saved))
+    return model, params
+
+
 def build_model(
     config: TrainingConfig,
     pretrained: bool = True,
