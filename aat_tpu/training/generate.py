@@ -47,15 +47,17 @@ class GenerationConfig:
     forced_eos_token_id: Optional[int] = None
 
 
-def _apply_repetition_penalty(logits, generated, gen_mask, penalty):
+def _apply_repetition_penalty(logits, seen, penalty):
     """CTRL-style: for tokens already generated, divide positive scores by
-    ``penalty``, multiply negative ones."""
+    ``penalty``, multiply negative ones.
+
+    ``seen`` is a [B, V] bool mask carried in the decode scan (updated as
+    each token is written, reordered with the beams) — reconstructing it
+    per step via ``one_hot(generated, V)`` would materialize [B·K, L, V]
+    (~233 MB at Qwen-1.5-1.8B vocab 151,936 with beam 3 × batch 8 × L 64).
+    """
     if penalty == 1.0:
         return logits
-    b, v = logits.shape
-    seen = jnp.zeros((b, v), bool)
-    one_hot = jax.nn.one_hot(generated, v, dtype=jnp.bool_)  # [B, L, V]
-    seen = jnp.any(one_hot & gen_mask[..., None], axis=1)
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
 
@@ -91,10 +93,8 @@ def _apply_no_repeat_ngram(logits, generated, step, n):
     return jnp.where(banned, -jnp.inf, logits)
 
 
-def _process_logits(logits, generated, gen_mask, step, config: GenerationConfig):
-    logits = _apply_repetition_penalty(
-        logits, generated, gen_mask, config.repetition_penalty
-    )
+def _process_logits(logits, generated, seen, step, config: GenerationConfig):
+    logits = _apply_repetition_penalty(logits, seen, config.repetition_penalty)
     logits = _apply_no_repeat_ngram(logits, generated, step, config.no_repeat_ngram_size)
     return logits
 
@@ -140,14 +140,15 @@ def greedy_generate(
 
     generated = jnp.full((b, max_new), config.pad_token_id, jnp.int32)
     finished = jnp.zeros((b,), bool)
+    seen = jnp.zeros((b, last_logits.shape[-1]), bool)
 
     def step_fn(carry, step):
-        last_logits, caches, cache_mask, generated, finished = carry
-        gen_mask = jnp.arange(max_new)[None, :] < step
-        logits = _process_logits(last_logits, generated, gen_mask, step, config)
+        last_logits, caches, cache_mask, generated, finished, seen = carry
+        logits = _process_logits(last_logits, generated, seen, step, config)
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         token = jnp.where(finished, config.pad_token_id, token)
         generated = generated.at[:, step].set(token)
+        seen = seen.at[jnp.arange(b), token].set(True)
         finished = finished | (token == config.eos_token_id)
 
         slot = t0 + step
@@ -161,9 +162,9 @@ def greedy_generate(
             positions=positions,
             kv_caches=caches, cache_index=slot,
         )
-        return (logits_next[:, 0, :], caches, cache_mask, generated, finished), None
+        return (logits_next[:, 0, :], caches, cache_mask, generated, finished, seen), None
 
-    carry = (last_logits, caches, cache_mask, generated, finished)
+    carry = (last_logits, caches, cache_mask, generated, finished, seen)
     carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_new))
     return carry[3]
 
@@ -237,17 +238,20 @@ def beam_generate(
     pool_finished = jnp.zeros((b, k), bool)
     # sticky per-batch "running beams could still improve the pool" bit
     unsat = jnp.ones((b,), bool)
+    # per-beam seen-token mask for the repetition penalty, carried (and
+    # reordered) with the beams — O(B·K·V) instead of the O(B·K·L·V)
+    # one-hot reconstruction
+    seen = jnp.zeros((bk, last_logits.shape[-1]), bool)
 
     batch_idx = jnp.arange(b)
 
     def step_fn(carry, step):
         (last_logits, caches, cache_mask, generated, beam_scores,
-         pool_seqs, pool_scores, pool_finished, unsat) = carry
+         pool_seqs, pool_scores, pool_finished, unsat, seen) = carry
 
         # -- candidate scores: processors on log-probs (HF beam semantics) --
         logprobs = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
-        gen_mask = jnp.arange(max_new)[None, :] < step
-        logprobs = _process_logits(logprobs, generated, gen_mask, step, config)
+        logprobs = _process_logits(logprobs, generated, seen, step, config)
         if config.forced_eos_token_id is not None:
             # ForcedEOSTokenLogitsProcessor: at the final position, -inf
             # everywhere except forced eos -> 0
@@ -305,6 +309,7 @@ def beam_generate(
         caches = [(reorder(c[0]), reorder(c[1])) for c in caches]
         last_token = new_token.reshape(bk)
         generated = generated.at[:, step].set(last_token)
+        seen = reorder(seen).at[jnp.arange(bk), last_token].set(True)
 
         # -- sticky early-stop heuristic (HF _check_early_stop_heuristic,
         # evaluated at cur_len = step + 1; early_stopping=True and the
@@ -327,11 +332,11 @@ def beam_generate(
         )
         return (
             logits_next[:, 0, :], caches, cache_mask, generated, beam_scores,
-            pool_seqs, pool_scores, pool_finished, unsat,
+            pool_seqs, pool_scores, pool_finished, unsat, seen,
         ), None
 
     carry = (last_logits, caches, cache_mask, generated, beam_scores,
-             pool_seqs, pool_scores, pool_finished, unsat)
+             pool_seqs, pool_scores, pool_finished, unsat, seen)
     carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_new))
     # pool slot 0 is the best finished hypothesis (top_k keeps descending
     # order); at the final step every running beam retired, so the pool is
