@@ -109,6 +109,27 @@ def shard_params(params, mesh: Mesh):
 
 
 def place_params(params, mesh: Mesh):
-    """Device-put a param tree according to :func:`shard_params`."""
+    """Device-put a param tree according to :func:`shard_params`.
+
+    Multi-process: a host numpy leaf is the full (process-identical) array,
+    so build the global jax.Array from each process's slice of it —
+    ``make_array_from_process_local_data`` treats local data whose shape
+    equals the global shape as the global array and carves out the
+    addressable shards. ``jax.device_put`` alone cannot target
+    non-addressable devices."""
     shardings = shard_params(params, mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, params, shardings)
+
+    def put(x, sh):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global array (e.g. restored checkpoint)
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            # expand scalars: make_array_from_process_local_data needs a dim
+            rep = NamedSharding(mesh, P(None))
+            return jax.make_array_from_process_local_data(
+                rep, arr[None], (1,)).reshape(())
+        return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+    return jax.tree.map(put, params, shardings)
