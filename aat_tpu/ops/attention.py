@@ -10,8 +10,10 @@ equivalent. The score matrix [T, S] is never materialized in HBM:
   (lanes-broadcast layout, [BH, T, 128]) for the backward.
 * Backward: two Pallas kernels recomputing probabilities from the saved
   logsumexp (FlashAttention-2 style) — a dq kernel (grid over q-tiles,
-  k innermost) and a dk/dv kernel (grid over k-tiles, q innermost), plus a
-  cheap XLA rowsum for delta = sum(dO * O).
+  k innermost) and a dk/dv kernel (grid over k-tiles, q innermost).
+  delta = sum(dO * O) is fused into both kernels (computed from the dO/O
+  blocks they already load), eliminating the [BH, T, 128] f32 prepass
+  array and ~3 HBM passes over it.
 * Causal: blocks fully above the diagonal are skipped entirely (compute and
   softmax bookkeeping), halving the work for the LM decoder; the triangle
   select runs only on blocks that straddle the diagonal.
@@ -345,11 +347,24 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
 # backward
 # ---------------------------------------------------------------------------
 
+def _delta128(do_ref, out_ref, block_q):
+    """delta = rowsum(dO · O), lanes-broadcast [BQ, 128] — computed INSIDE
+    the backward kernels from the (already loaded) dO and O q-blocks. The
+    previous XLA prepass materialized delta as a [BH, Tp, 128] f32 array
+    (~50 MB at [4,16,1536,64]) written once and read by both kernels; the
+    in-kernel rowsum is ~BQ·D flops per block, trading negligible compute
+    for ~3 full HBM passes of that array."""
+    prod = do_ref[0].astype(jnp.float32) * out_ref[0].astype(jnp.float32)
+    dsum = jnp.sum(prod, axis=1)[:, None]  # [BQ, 1]
+    return jax.lax.broadcast_in_dim(dsum, (block_q, _LANES), (0, 1))
+
+
 def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-              delta_ref, causal, head_idx, q_start, k_start, block_k,
+              delta128, causal, head_idx, q_start, k_start, block_k,
               dropout_rate, s_stride):
     """Shared backward core, [BQ, BK]: recompute the normalized
     probabilities from the saved logsumexp and form ds = p * (dp - delta).
+    ``delta128`` is the lanes-broadcast rowsum(dO·O) value for this q-block.
 
     With dropout: the keep-mask regenerates from the same position hash as
     the forward. dv needs the DROPPED p~; the dropout chain rule applies to
@@ -377,13 +392,13 @@ def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         inv = 1.0 / (1.0 - dropout_rate)
         p_v = jnp.where(keep, p * inv, 0.0)
         dp = jnp.where(keep, dp * inv, 0.0)
-    ds = p * (dp - _tile_lanes(delta_ref[0], bk))
+    ds = p * (dp - _tile_lanes(delta128, bk))
     return p_v, ds
 
 
 def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, dq_scr, *, causal, block_q, block_k,
-                   nk, sm_scale, dropout_rate, s_stride):
+                   out_ref, dq_ref, dq_scr, delta_scr, *, causal, block_q,
+                   block_k, nk, sm_scale, dropout_rate, s_stride):
     head_idx = pl.program_id(0)
     j = pl.program_id(1)
     kidx = pl.program_id(2)
@@ -391,6 +406,8 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     @pl.when(kidx == 0)
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
+        # delta for this q-block, once per row of k-steps (k is innermost)
+        delta_scr[:] = _delta128(do_ref, out_ref, block_q)
 
     q_start = j * block_q
     k_start = kidx * block_k
@@ -399,7 +416,7 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     @pl.when(run)
     def _compute():
         _, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
-                          lse_ref, delta_ref, causal, head_idx, q_start,
+                          lse_ref, delta_scr[:], causal, head_idx, q_start,
                           k_start, block_k, dropout_rate, s_stride)
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
@@ -412,7 +429,7 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal,
+                    out_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal,
                     block_q, block_k, nq, sm_scale, dropout_rate, s_stride):
     head_idx = pl.program_id(0)
     kidx = pl.program_id(1)
@@ -429,8 +446,11 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
+        # q is innermost here, so delta recomputes per step — ~BQ·D flops,
+        # noise next to the block's three [BQ,BK]×D matmuls
         p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
-                          lse_ref, delta_ref, causal, head_idx, q_start,
+                          lse_ref, _delta128(do_ref, out_ref, block_q),
+                          causal, head_idx, q_start,
                           k_start, block_k, dropout_rate, s_stride)
         # contract the q dimension (dim 0 of both operands)
         dv_scr[:] += jax.lax.dot_general(
@@ -469,15 +489,14 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     kf = _pad_to(k.reshape(b * kvh, s, d), sp, axis=1)
     vf = _pad_to(v.reshape(b * kvh, s, d), sp, axis=1)
     dof = _pad_to(g.reshape(b * h, t, d), tp, axis=1)
+    outf = _pad_to(out.reshape(b * h, t, d), tp, axis=1)
     # the forward may have used different q blocks → re-fit lse's padding
     # (padded rows are harmless: dO there is zero, so ds/dv contributions are)
     lse = _pad_to(lse[:, :tp, :], tp, axis=1)
     bias = jnp.where(_pad_to(key_mask, sp, axis=1) > 0, 0.0, _MASK)
     bias = bias.astype(jnp.float32)[:, None, :]
-    # delta = rowsum(dO * O), lanes-broadcast like lse
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = _pad_to(delta.reshape(b * h, t), tp, axis=1)
-    delta = jnp.broadcast_to(delta[..., None], (b * h, tp, _LANES))
+    # delta = rowsum(dO·O) is computed INSIDE the kernels from dO and O
+    # blocks (see _delta128) — no [BH, Tp, 128] prepass array
 
     # causal block-copy elision (same trick as the forward): clamp the
     # k-block index on above-diagonal steps (dq kernel, k innermost) and the
@@ -530,7 +549,7 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
         pl.BlockSpec((1, bk, d), dq_kv_map, memory_space=pltpu.VMEM),
         ident["q"],
         ident["lanes"],
-        ident["lanes"],
+        ident["q"],  # O block (delta recomputed in-kernel)
     ]
 
     dq = pl.pallas_call(
@@ -542,15 +561,18 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+        ],
         compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * t * s * d // (2 if causal else 1),
-            bytes_accessed=q.dtype.itemsize * b * h * (3 * t + 2 * s) * d,
+            bytes_accessed=q.dtype.itemsize * b * h * (4 * t + 2 * s) * d,
             transcendentals=b * h * t * s,
         ),
         interpret=_interpret(),
-    )(seed, bias, qf, kf, vf, dof, lse, delta)
+    )(seed, bias, qf, kf, vf, dof, lse, outf)
 
     # dkv grid: (bh, k-tiles, q-tiles) — remap the spec index order and
     # clamp the q-side block maps for causal copy elision
@@ -569,7 +591,7 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
         _swap(pl.BlockSpec((1, bk, d), dkv_kv_map, memory_space=pltpu.VMEM)),
         _swap(clamped["q"]),
         _swap(clamped["lanes"]),
-        _swap(clamped["lanes"]),
+        _swap(clamped["q"]),  # O block (delta recomputed in-kernel)
     ]
     dk_rep, dv_rep = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, block_q=bq,
@@ -598,7 +620,7 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
             transcendentals=b * h * t * s,
         ),
         interpret=_interpret(),
-    )(seed, bias, qf, kf, vf, dof, lse, delta)
+    )(seed, bias, qf, kf, vf, dof, lse, outf)
 
     dq = dq[:, :t, :].reshape(b, h, t, d)
     # reduce grads over q-heads sharing a kv head (GQA)
