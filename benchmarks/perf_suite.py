@@ -287,6 +287,20 @@ def bench_train_step(quick):
     dt = (time.perf_counter() - t0) / iters
     report("aslm_train_step_bf16", dt, audio_seconds, "audio_s/s")
 
+    from aat_tpu.utils.flops import aslm_train_step_flops, mfu
+
+    fl = aslm_train_step_flops(
+        audio_cfg, lm_cfg, config, bs, n_seg, frames, text_len,
+        train_audio_encoder=True, train_lm_decoder=False,
+    )
+    report("aslm_train_step_mfu", dt, fl["total"] / 1e12, "TFLOP/s(model)")
+    print(json.dumps({
+        "metric": "aslm_train_step_mfu_pct",
+        "value": round(100 * mfu(fl["total"], dt), 2),
+        "unit": "% of v5e bf16 peak",
+        "model_tflops_per_step": round(fl["total"] / 1e12, 3),
+    }), flush=True)
+
 
 def bench_train_whole_utterance(quick):
     """Whole-utterance training step (reference AATTrainer non-segmented
@@ -350,6 +364,21 @@ def bench_train_whole_utterance(quick):
         report(f"whole_utterance_train_step_bf16_remat_{impl}", dt,
                audio_seconds, "audio_s/s")
 
+        from aat_tpu.utils.flops import aslm_train_step_flops, mfu
+
+        # MFU convention: rematerialized recompute is NOT counted as model
+        # flops — remat ON means measured MFU understates hardware flops
+        fl = aslm_train_step_flops(
+            audio_cfg, lm_cfg, config, bs, None, int(seconds * 16000),
+            text_len, train_audio_encoder=True, train_lm_decoder=False,
+        )
+        print(json.dumps({
+            "metric": f"whole_utterance_mfu_pct_{impl}",
+            "value": round(100 * mfu(fl["total"], dt), 2),
+            "unit": "% of v5e bf16 peak (remat recompute not counted)",
+            "model_tflops_per_step": round(fl["total"] / 1e12, 3),
+        }), flush=True)
+
 
 def bench_generation(quick):
     """Eval-path generation at SmolLM-135M shapes: greedy and the
@@ -388,6 +417,145 @@ def bench_generation(quick):
                     iters=5)
         report(name, dt, b * new, "tok/s")
 
+    # --- Qwen-1.5-1.8B shapes (vocab 151,936 — the reference's other LM,
+    # config.py:42): beam-3 with the reference settings. Feasible because
+    # the repetition penalty carries a [B·K, V] seen-mask in the scan
+    # instead of materializing one_hot(generated, V) per step. Params are
+    # random-initialized ON DEVICE (a 7.2 GB host upload through the relay
+    # would dominate; matmul timing is weight-value-independent).
+    qcfg = llm.qwen15_18b_config()
+    qparams = _device_llama_params(qcfg, dtype=jnp.bfloat16)
+    qembeds = jax.device_put(
+        rng.normal(0, 0.02, (b, prefix, qcfg.hidden_size)).astype(jnp.bfloat16))
+    dt = timeit(
+        lambda: beam_generate(qparams, qcfg, qembeds, mask, beam_cfg), iters=3)
+    report("generation_beam3_qwen_vocab", dt, b * new, "tok/s")
+
+
+def _device_llama_params(cfg, dtype):
+    """Random Llama params built on device in ONE jitted program (mirrors
+    init_llama_params's tree; bench-only — weight values don't affect
+    matmul throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, kvh = cfg.hidden_size, cfg.num_key_value_heads * cfg.head_dim
+
+    def make(key):
+        cnt = [0]
+
+        def normal(*shape):
+            cnt[0] += 1
+            k = jax.random.fold_in(key, cnt[0])
+            return (0.02 * jax.random.normal(k, shape, jnp.float32)).astype(dtype)
+
+        def dense(din, dout, bias):
+            p = {"kernel": normal(din, dout)}
+            if bias:
+                p["bias"] = jnp.zeros((dout,), dtype)
+            return p
+
+        params = {
+            "embed_tokens": {"embedding": normal(cfg.vocab_size, h)},
+            "layers": [],
+            "final_norm": {"scale": jnp.ones((h,), dtype)},
+        }
+        for _ in range(cfg.num_hidden_layers):
+            params["layers"].append({
+                "input_norm": {"scale": jnp.ones((h,), dtype)},
+                "attention": {
+                    "q": dense(h, h, cfg.attention_bias),
+                    "k": dense(h, kvh, cfg.attention_bias),
+                    "v": dense(h, kvh, cfg.attention_bias),
+                    "out": dense(h, h, False),
+                },
+                "post_attention_norm": {"scale": jnp.ones((h,), dtype)},
+                "mlp": {
+                    "gate": dense(h, cfg.intermediate_size, False),
+                    "up": dense(h, cfg.intermediate_size, False),
+                    "down": dense(cfg.intermediate_size, h, False),
+                },
+            })
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = dense(h, cfg.vocab_size, False)
+        return params
+
+    return jax.jit(make)(jax.random.PRNGKey(0))
+
+
+def bench_eval(quick):
+    """Eval wall-clock for a 30-item val set (flagship shapes, beam-3
+    generation with the reference's settings): measures the host-round-trip
+    economy of evaluate() — losses and generations are fetched in ONE bulk
+    transfer after the loop instead of ≥2 syncs per batch."""
+    import jax
+
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.generate import GenerationConfig
+    from aat_tpu.training.metrics import ComputeMetrics
+    from aat_tpu.training.trainer import AATTrainerSegmentation
+
+    audio_cfg = hub.hubert_large_config()
+    lm_cfg = llm.smollm_135m_config()
+    config = AslmConfig(
+        projection_type="linear",
+        audio_encoder_hidden=audio_cfg.hidden_size,
+        lm_hidden=lm_cfg.hidden_size,
+    )
+    model = AslmModel(config, audio_cfg, lm_cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tcfg = TrainingConfig(
+        learning_rate=1e-4, compute_dtype="bfloat16",
+        train_audio_encoder=True, train_lm_decoder=False,
+        logging_steps=10**9, eval_steps=0, save_steps=0,
+        output_dir="/tmp/aat_bench_eval",
+    )
+
+    class IdTok:
+        eos_token_id = 2
+        bos_token_id = 1
+
+        def batch_decode(self, ids_batch, skip_special_tokens=True):
+            return [" ".join(str(int(i)) for i in ids if int(i) > 2)
+                    for ids in ids_batch]
+
+        def decode(self, ids):
+            return " ".join(str(int(i)) for i in ids)
+
+    trainer = AATTrainerSegmentation(
+        model, params, tcfg, compute_metrics=ComputeMetrics(IdTok()),
+        tokenizer=IdTok(),
+        generation_config=GenerationConfig(
+            num_beams=3, repetition_penalty=2.5, no_repeat_ngram_size=4,
+            early_stopping=True),
+    )
+
+    rng = np.random.default_rng(0)
+    n_items, val_bs, n_seg, frames, text_len = 30, 20, 8, 4000, 32
+
+    def mkbatch(bs):
+        return {
+            "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
+            "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.float32),
+            "segments_boarders_attention_mask": np.ones((bs, n_seg), np.int32),
+            "input_ids": rng.integers(3, lm_cfg.vocab_size, (bs, text_len)),
+            "attention_mask": np.ones((bs, text_len), np.int32),
+            "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+            "prefix_input_ids": np.full((bs, 2), 1, np.int64),
+            "prefix_attention_mask": np.ones((bs, 2), np.int64),
+        }
+
+    batches = [mkbatch(val_bs), mkbatch(n_items - val_bs)]
+    trainer.evaluate(batches)  # compile warmup (both batch shapes)
+    t0 = time.perf_counter()
+    metrics = trainer.evaluate(batches)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(metrics["eval/loss"])
+    report("eval_30_items_beam3", dt, n_items, "items/s")
+
 
 def main():
     from aat_tpu.utils.cache import enable_compilation_cache
@@ -408,6 +576,7 @@ def main():
         "train_step": bench_train_step,
         "train_whole_utterance": bench_train_whole_utterance,
         "generation": bench_generation,
+        "eval": bench_eval,
     }
     for name, fn in benches.items():
         if args.only and name != args.only:
