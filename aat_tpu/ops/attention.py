@@ -8,15 +8,22 @@ equivalent. The score matrix [T, S] is never materialized in HBM:
   innermost/sequential. Running max/denominator/accumulator live in VMEM
   scratch (online softmax), so S is unbounded. Emits the row logsumexp
   (lanes-broadcast layout, [BH, T, 128]) for the backward.
-* Backward: two Pallas kernels recomputing probabilities from the saved
-  logsumexp (FlashAttention-2 style) — a dq kernel (grid over q-tiles,
-  k innermost) and a dk/dv kernel (grid over k-tiles, q innermost).
-  delta = sum(dO * O) is fused into both kernels (computed from the dO/O
-  blocks they already load), eliminating the [BH, T, 128] f32 prepass
-  array and ~3 HBM passes over it.
-* Causal: blocks fully above the diagonal are skipped entirely (compute and
-  softmax bookkeeping), halving the work for the LM decoder; the triangle
-  select runs only on blocks that straddle the diagonal.
+* Backward: ONE fused Pallas kernel producing dq, dk and dv from a single
+  visit per score block (FlashAttention-2 recompute from the saved
+  logsumexp). s/p/dp/ds are shared across the three grads (10 matmul
+  flop-units per block vs 14 for the classic dq/dkv two-kernel split,
+  which this file keeps only as the long-sequence fallback); dk/dv
+  accumulate in a persistent [S, D] f32 VMEM scratch across each
+  batch-head's grid and flush to HBM once. delta = sum(dO * O) is computed
+  in-kernel from the dO/O blocks already loaded — no prepass array.
+  Measured on v5e at [4,16,1536,64] bf16 (same-process A/B): fused 1.22x
+  over the split pair dense, 1.36x causal.
+* Causal: the forward skips fully-above-diagonal blocks with pl.when plus
+  clamped-index DMA elision; the fused backward goes further and flattens
+  the grid to ONLY the at-or-below-diagonal blocks via scalar-prefetch
+  step tables (skipped blocks would still occupy sequential grid slots —
+  the dk/dv scratch carry forbids PARALLEL semantics). The triangle select
+  still runs on every block; only whole-block skipping is structural.
 * GQA: k/v may carry fewer heads than q ([B, KVH, S, D] with H % KVH == 0);
   the kernel maps q-head blocks onto shared k/v blocks through the index
   map instead of materializing a repeated copy.
@@ -470,14 +477,172 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _tri_tables(nq, nk, bq, bk):
+    """Row-major (j, k) step tables for the lower-triangle block grid.
+
+    Flattening the causal grid to ONLY the blocks at-or-below the diagonal
+    is the structural fix the pl.when skip can't deliver in the backward:
+    a skipped step still occupies a sequential grid slot (the dk/dv scratch
+    carry forces ARBITRARY semantics, so Mosaic can't compact them), and
+    measured causal wall-clock stayed ~equal to the dense rectangle. With
+    the table, skipped blocks simply don't exist. ``rowend`` marks the last
+    k-step of each q-row (where dq flushes)."""
+    js, ks, rowend = [], [], []
+    for j in range(nq):
+        kmax = min(nk - 1, (j * bq + bq - 1) // bk)
+        for kidx in range(kmax + 1):
+            js.append(j)
+            ks.append(kidx)
+            rowend.append(1 if kidx == kmax else 0)
+    return (np.asarray(js, np.int32), np.asarray(ks, np.int32),
+            np.asarray(rowend, np.int32))
+
+
+def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
+                          q_ref, k_ref, v_ref, do_ref, lse_ref, out_ref,
+                          dq_ref, dk_ref, dv_ref, dq_scr, delta_scr, dk_scr,
+                          dv_scr, *, block_q, block_k, n_steps, sm_scale,
+                          dropout_rate, s_stride):
+    """Causal fused backward over the flattened lower-triangle grid.
+
+    Same math as _bwd_fused_kernel, but program_id(1) walks only real
+    blocks; (j, kidx) come from the prefetched step tables that also drive
+    the BlockSpec index maps."""
+    head_idx = pl.program_id(0)
+    step = pl.program_id(1)
+    j = jtab_ref[step]
+    kidx = ktab_ref[step]
+
+    @pl.when(step == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(kidx == 0)
+    def _init_row():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+        delta_scr[:] = _delta128(do_ref, out_ref, block_q)
+
+    q_start = j * block_q
+    k_start = kidx * block_k
+    p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, delta_scr[:], True, head_idx, q_start,
+                      k_start, block_k, dropout_rate, s_stride)
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = pl.ds(k_start, block_k)
+    dv_scr[rows, :] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scr[rows, :] += jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(rowend_ref[step] == 1)
+    def _fin_row():
+        dq_ref[0] = (dq_scr[:] * sm_scale).astype(dq_ref.dtype)
+
+    @pl.when(step == n_steps - 1)
+    def _fin_kv():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, out_ref, dq_ref, dk_ref, dv_ref, dq_scr,
+                      delta_scr, dk_scr, dv_scr, *, causal, block_q, block_k,
+                      nq, nk, sm_scale, dropout_rate, s_stride):
+    """Single-pass backward: dq, dk, dv from ONE visit per score block.
+
+    The two-kernel split (dq with k innermost, dkv with q innermost)
+    recomputes s/p/dp/ds twice per block — 14 matmul-units and two exp
+    passes per [BQ, BK] tile. This kernel shares them: 10 units, one exp.
+    dk/dv accumulate in a persistent [Sp, D] f32 VMEM scratch across the
+    whole (q, k) grid of one batch-head (v5e has 128 MiB VMEM; Sp·D·f32·2
+    is ~790 KB at S=1536) and flush to HBM once per batch-head. k is
+    innermost, so q/dO/O/lse blocks load once per row. The causal path
+    normally dispatches to _bwd_fused_tri_kernel instead (flattened
+    triangle grid); the pl.when skip here is kept for generality."""
+    head_idx = pl.program_id(0)
+    j = pl.program_id(1)
+    kidx = pl.program_id(2)
+
+    @pl.when((j == 0) & (kidx == 0))
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(kidx == 0)
+    def _init_row():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+        delta_scr[:] = _delta128(do_ref, out_ref, block_q)
+
+    q_start = j * block_q
+    k_start = kidx * block_k
+    run = (k_start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_scr[:], causal, head_idx, q_start,
+                          k_start, block_k, dropout_rate, s_stride)
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rows = pl.ds(k_start, block_k)
+        dv_scr[rows, :] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # q carries the softmax scale, so dk = ds^T @ (q·scale) needs no
+        # extra factor; dq undoes it at finalize instead
+        dk_scr[rows, :] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kidx == nk - 1)
+    def _fin_row():
+        dq_ref[0] = (dq_scr[:] * sm_scale).astype(dq_ref.dtype)
+
+    @pl.when((j == nq - 1) & (kidx == nk - 1))
+    def _fin_kv():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# beyond this S the fused backward's persistent [Sp, D] f32 dk/dv scratch
+# (2 · Sp · D · 4 bytes) stops being VMEM-friendly → two-kernel fallback
+_FUSED_BWD_MAX_S = 8192
+_FUSED_BLOCKS_CAUSAL = (512, 512)      # tri grid: 6 real blocks at T=1536,
+#   matching the forward's causal tiling; swept vs (768,768)/(512,384)
+_FUSED_BLOCKS_DENSE = (768, 1536)      # k single-tile → k/v loaded once
+
+
+def _fused_bwd_blocks(t, s, causal):
+    bq0, bk0 = _FUSED_BLOCKS_CAUSAL if causal else _FUSED_BLOCKS_DENSE
+    return (min(bq0, -(-t // 128) * 128), min(bk0, -(-s // 128) * 128))
+
+
 def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
                     block_q=None, block_k=None, dropout_rate=0.0,
-                    dropout_seed=None):
+                    dropout_seed=None, fused=True):
     b, h, t, d = q.shape
     kvh, s = k.shape[1], k.shape[2]
     rep = h // kvh
-    bq = block_q or min(_BLOCK_Q, -(-t // 128) * 128)
-    bk = block_k or min(_BLOCK_K, -(-s // 128) * 128)
+    fused = fused and s <= _FUSED_BWD_MAX_S
+    if fused:
+        dbq, dbk = _fused_bwd_blocks(t, s, causal)
+    else:
+        dbq, dbk = (min(_BLOCK_Q, -(-t // 128) * 128),
+                    min(_BLOCK_K, -(-s // 128) * 128))
+    bq = block_q or dbq
+    bk = block_k or dbk
     tp = -(-t // bq) * bq
     sp = -(-s // bk) * bk
     nq, nk = tp // bq, sp // bk
@@ -517,6 +682,137 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
 
     def dq_kv_map(i, j, n, h=h, rep=rep, kvh=kvh):
         return ((i // h) * kvh + (i % h) // rep, kclamp(j, n), 0)
+
+    if fused and causal:
+        jtab, ktab, rowend = _tri_tables(nq, nk, bq, bk)
+        n_steps = len(jtab)
+        area = float(bq * bk * n_steps) / float(tp * sp)  # covered fraction
+
+        def q_tri(i, s, jt, kt, re):
+            return (i, jt[s], 0)
+
+        def lane_tri(i, s, jt, kt, re):
+            return (i, jt[s], 0)
+
+        def kv_tri(i, s, jt, kt, re, h=h, rep=rep, kvh=kvh):
+            return ((i // h) * kvh + (i % h) // rep, kt[s], 0)
+
+        qmap = pl.BlockSpec((1, bq, d), q_tri, memory_space=pltpu.VMEM)
+        lanemap = pl.BlockSpec((1, bq, _LANES), lane_tri,
+                               memory_space=pltpu.VMEM)
+        kvmap = pl.BlockSpec((1, bk, d), kv_tri, memory_space=pltpu.VMEM)
+        whole_s = pl.BlockSpec((1, sp, d), lambda i, s, jt, kt, re: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b * h, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, s, jt, kt, re: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, bk),
+                             lambda i, s, jt, kt, re: (i // h, 0, kt[s]),
+                             memory_space=pltpu.VMEM),
+                qmap, kvmap, kvmap, qmap, lanemap, qmap,
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bq, d), q_tri, memory_space=pltpu.VMEM),
+                whole_s, whole_s,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((sp, d), jnp.float32),
+                pltpu.VMEM((sp, d), jnp.float32),
+            ],
+        )
+        dq, dk_rep, dv_rep = pl.pallas_call(
+            functools.partial(_bwd_fused_tri_kernel, block_q=bq, block_k=bk,
+                              n_steps=n_steps, sm_scale=sm_scale,
+                              dropout_rate=dropout_rate, s_stride=s_stride),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, sp, d), k.dtype),
+                jax.ShapeDtypeStruct((b * h, sp, d), v.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # the step dim carries dq/dk/dv scratch accumulators
+                dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(10 * b * h * tp * sp * d * area),
+                bytes_accessed=q.dtype.itemsize * b * h
+                * (4 * t + 4 * s) * d,
+                transcendentals=int(b * h * tp * sp * area),
+            ),
+            interpret=_interpret(),
+        )(jnp.asarray(jtab), jnp.asarray(ktab), jnp.asarray(rowend),
+          seed, bias, qf, kf, vf, dof, lse, outf)
+        dq = dq[:, :t, :].reshape(b, h, t, d)
+        dk = dk_rep[:, :s, :].reshape(b, kvh, rep, s, d).sum(2) if rep > 1 \
+            else dk_rep[:, :s, :].reshape(b, kvh, s, d)
+        dv = dv_rep[:, :s, :].reshape(b, kvh, rep, s, d).sum(2) if rep > 1 \
+            else dv_rep[:, :s, :].reshape(b, kvh, s, d)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+    if fused:
+        qmap = pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+        lanemap = pl.BlockSpec((1, bq, _LANES), lambda i, j, n: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        kvmap = pl.BlockSpec((1, bk, d), dq_kv_map, memory_space=pltpu.VMEM)
+        whole_s = pl.BlockSpec((1, sp, d), lambda i, j, n: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dq, dk_rep, dv_rep = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, causal=causal, block_q=bq,
+                              block_k=bk, nq=nq, nk=nk, sm_scale=sm_scale,
+                              dropout_rate=dropout_rate, s_stride=s_stride),
+            grid=(b * h, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, bk),
+                             lambda i, j, n: (i // h, 0, kclamp(j, n)),
+                             memory_space=pltpu.VMEM),
+                qmap, kvmap, kvmap, qmap, lanemap, qmap,
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                whole_s, whole_s,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, sp, d), k.dtype),
+                jax.ShapeDtypeStruct((b * h, sp, d), v.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((sp, d), jnp.float32),
+                pltpu.VMEM((sp, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # j carries the dk/dv scratch accumulators → sequential
+                dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY,
+                                     pltpu.ARBITRARY),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * b * h * t * s * d // (2 if causal else 1),
+                bytes_accessed=q.dtype.itemsize * b * h
+                * (4 * t + 4 * s) * d,
+                transcendentals=b * h * t * s // (2 if causal else 1),
+            ),
+            interpret=_interpret(),
+        )(seed, bias, qf, kf, vf, dof, lse, outf)
+        dq = dq[:, :t, :].reshape(b, h, t, d)
+        dk = dk_rep[:, :s, :].reshape(b, kvh, rep, s, d).sum(2) if rep > 1 \
+            else dk_rep[:, :s, :].reshape(b, kvh, s, d)
+        dv = dv_rep[:, :s, :].reshape(b, kvh, rep, s, d).sum(2) if rep > 1 \
+            else dv_rep[:, :s, :].reshape(b, kvh, s, d)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
     def dkv_kv_map(i, j, n, h=h, rep=rep, kvh=kvh):
         return ((i // h) * kvh + (i % h) // rep, n, 0)
