@@ -386,6 +386,7 @@ def bench_generation(quick):
     early_stopping, pad=eos, forced_eos — trainer.py:568-580). Static-shape
     KV-cache decode; reports generated tokens per wall-sec."""
     import jax
+    import jax.numpy as jnp
 
     from aat_tpu.models import llama as llm
     from aat_tpu.training.generate import (
@@ -578,8 +579,13 @@ def main():
         "generation": bench_generation,
         "eval": bench_eval,
     }
+    only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(benches)
+        if unknown:
+            parser.error(f"unknown bench keys: {sorted(unknown)}")
     for name, fn in benches.items():
-        if args.only and name != args.only:
+        if only and name not in only:
             continue
         fn(args.quick)
 
