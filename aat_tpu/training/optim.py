@@ -15,7 +15,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +140,53 @@ def adafactor(
 
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
+
+
+class GuardNonfiniteState(NamedTuple):
+    total_notfinite: jnp.ndarray  # float32 scalar count of dropped steps
+    inner_state: optax.OptState
+
+
+def guard_nonfinite(inner: optax.GradientTransformation
+                    ) -> optax.GradientTransformation:
+    """Non-finite-update guard with ``optax.apply_if_finite`` semantics
+    (non-finite grads → zero update, inner state untouched, count bumped)
+    but NONE of its cost structure.
+
+    ``apply_if_finite`` measured 22.4 ms of an 89.5 ms flagship train step
+    on v5e: a per-leaf isfinite-and-reduce over the whole grad tree
+    (6.5 ms of is-finite_reduce fusions) plus a ``lax.cond`` wrapping the
+    entire optimizer update, which forces XLA to copy params/opt-state
+    buffers across the conditional boundary (~10 ms of copy ops) and blocks
+    fusion. Here instead:
+
+    * the predicate is ``isfinite(global_norm(grads))`` — ONE fused
+      sum-of-squares reduce (inf/nan anywhere poisons the norm; a
+      finite-but-1e20 grad overflows the square and also drops the step,
+      which such a step deserves);
+    * grads, the new inner state, and the updates are blended with the
+      scalar predicate via ``jnp.where`` — XLA fuses a scalar select into
+      the elementwise Adam kernels that already read both operands, so the
+      no-cond path adds no memory traffic.
+    """
+
+    def init_fn(params):
+        return GuardNonfiniteState(jnp.zeros((), jnp.float32),
+                                   inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        ok = jnp.isfinite(optax.global_norm(updates))
+        safe = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros((), g.dtype)), updates)
+        new_updates, new_inner = inner.update(safe, state.inner_state, params)
+        new_updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros((), u.dtype)), new_updates)
+        new_inner = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_inner, state.inner_state)
+        return new_updates, GuardNonfiniteState(
+            state.total_notfinite + (1.0 - ok.astype(jnp.float32)), new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def merge_matching_state(old_state, new_state):
