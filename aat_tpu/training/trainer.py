@@ -154,11 +154,17 @@ class AATTrainer:
 
     def _build_tx(self, params):
         cfg = self.config
+        # When the guard is on, global-norm clipping folds into the guard's
+        # own norm pass (one grad-tree read instead of two plus a scale
+        # pass — optim.guard_nonfinite); frozen subtrees carry exactly-zero
+        # grads (stop_gradient), so the full-tree norm equals the
+        # trainable-only norm the in-chain clip would compute.
+        fold_clip = cfg.skip_nonfinite_updates and cfg.optimizer == "adamw"
         if cfg.optimizer == "adamw":
             tx = optim_lib.adamw_grouped(
                 self.schedule, params,
                 weight_decay=cfg.weight_decay,
-                grad_clip_norm=cfg.grad_clip_norm,
+                grad_clip_norm=None if fold_clip else cfg.grad_clip_norm,
                 freeze=self.freeze,
             )
         elif cfg.optimizer == "adafactor":
@@ -172,7 +178,8 @@ class AATTrainer:
             # covered logging steps). Cond-free variant: optax's
             # apply_if_finite cost 22 ms/step at flagship scale (see
             # optim.guard_nonfinite).
-            tx = optim_lib.guard_nonfinite(tx)
+            tx = optim_lib.guard_nonfinite(
+                tx, clip_norm=cfg.grad_clip_norm if fold_clip else None)
         return tx
 
     # ------------------------------------------------------------------

@@ -29,6 +29,51 @@ def test_flash_matches_reference(rng, causal):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_bthd_matches_bhtd_layout(causal):
+    """attention_bthd([B,T,H,D]) must equal attention([B,H,T,D]) bitwise-ish
+    in every mode: plain, GQA, and position-hash dropout."""
+    from aat_tpu.ops.attention import attention_bthd
+
+    rng = np.random.default_rng(7)
+    for kvh, seed in ((4, None), (2, None), (4, 123)):
+        b, h, t, s, d = 2, 4, 8, 8, 8
+        q = jnp.asarray(rng.normal(0, 1, (b, h, t, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (b, kvh, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (b, kvh, s, d)).astype(np.float32))
+        mask = np.ones((b, s), np.int32)
+        mask[1, s // 2:] = 0
+        mask = jnp.asarray(mask)
+        rate = 0.25 if seed is not None else 0.0
+        ref = attention(q, k, v, mask, causal, None, use_pallas=False,
+                        dropout_rate=rate, dropout_seed=seed)
+        got = attention_bthd(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), mask, causal, None, use_pallas=False,
+            dropout_rate=rate, dropout_seed=seed)
+        np.testing.assert_allclose(
+            np.asarray(got.transpose(0, 2, 1, 3)), np.asarray(ref),
+            atol=1e-6, err_msg=f"kvh={kvh} seed={seed} causal={causal}")
+
+
+def test_attention_bthd_pallas_route_matches_xla(monkeypatch):
+    """Above MIN_PALLAS_SEQ_LEN the bthd wrapper transposes into the fused
+    kernel; force the threshold down and check both routes agree."""
+    import aat_tpu.ops.attention as att_mod
+    from aat_tpu.ops.attention import attention_bthd
+
+    monkeypatch.setattr(att_mod, "MIN_PALLAS_SEQ_LEN", 1)
+    rng = np.random.default_rng(8)
+    b, h, t, d = 2, 2, 8, 8
+    q = jnp.asarray(rng.normal(0, 1, (b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (b, t, h, d)).astype(np.float32))
+    mask = jnp.ones((b, t), jnp.int32)
+    got = attention_bthd(q, k, v, mask, False, None, use_pallas=True)
+    ref = attention_bthd(q, k, v, mask, False, None, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_flash_gradients_match_reference():
     q, k, v, mask = make_qkv(np.random.default_rng(1))
 

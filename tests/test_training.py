@@ -201,6 +201,38 @@ def test_remat_matches_non_remat():
     assert np.isfinite(float(norm)) and float(norm) > 0
 
 
+def test_guard_folded_clip_matches_optax():
+    """guard_nonfinite(clip_norm=c) must reproduce an in-chain
+    optax.clip_by_global_norm(c) exactly — the fold exists purely to share
+    the guard's global-norm pass (one grad-tree read instead of two)."""
+    import optax
+
+    params = {
+        "a": jnp.arange(12, dtype=jnp.float32).reshape(3, 4) / 10,
+        "b": jnp.ones((5,), jnp.float32),
+    }
+    adam = optax.scale_by_adam()
+    for scale in (1.0, 100.0):  # below / above the clip threshold
+        grads = jax.tree.map(lambda p: (p + 0.3) * scale, params)
+        folded = optim_lib.guard_nonfinite(adam, clip_norm=0.5)
+        chained = optax.chain(optax.clip_by_global_norm(0.5), adam)
+        u1, _ = folded.update(grads, folded.init(params), params)
+        u2, _ = chained.update(grads, chained.init(params), params)
+        for l1, l2 in zip(jax.tree.leaves(u1), jax.tree.leaves(u2)):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-6, atol=0)
+    # non-finite grads: zero update, inner state untouched, count bumped
+    bad = jax.tree.map(lambda p: p * jnp.nan, params)
+    folded = optim_lib.guard_nonfinite(adam, clip_norm=0.5)
+    st = folded.init(params)
+    u, st2 = folded.update(bad, st, params)
+    assert all(np.all(np.asarray(l) == 0) for l in jax.tree.leaves(u))
+    assert float(st2.total_notfinite) == 1.0
+    for l1, l2 in zip(jax.tree.leaves(st.inner_state),
+                      jax.tree.leaves(st2.inner_state)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 @pytest.mark.slow
 def test_nonfinite_loss_guard():
     model = tiny_model()
