@@ -18,12 +18,13 @@ equivalent. The score matrix [T, S] is never materialized in HBM:
   in-kernel from the dO/O blocks already loaded — no prepass array.
   Measured on v5e at [4,16,1536,64] bf16 (same-process A/B): fused 1.22x
   over the split pair dense, 1.36x causal.
-* Causal: the forward skips fully-above-diagonal blocks with pl.when plus
-  clamped-index DMA elision; the fused backward goes further and flattens
-  the grid to ONLY the at-or-below-diagonal blocks via scalar-prefetch
-  step tables (skipped blocks would still occupy sequential grid slots —
-  the dk/dv scratch carry forbids PARALLEL semantics). The triangle select
-  still runs on every block; only whole-block skipping is structural.
+* Causal: BOTH the forward and the fused backward flatten the grid to ONLY
+  the at-or-below-diagonal blocks via scalar-prefetch step tables. pl.when
+  skips cost no compute/DMA but each skipped step still occupies a
+  sequential slot of the ARBITRARY dimension that carries VMEM scratch
+  (online-softmax state forward, dk/dv accumulators backward); with the
+  tables, skipped blocks simply don't exist. The triangle select still
+  runs on every real block; only whole-block skipping is structural.
 * GQA: k/v may carry fewer heads than q ([B, KVH, S, D] with H % KVH == 0);
   the kernel maps q-head blocks onto shared k/v blocks through the index
   map instead of materializing a repeated copy.
@@ -224,6 +225,64 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
             lse_ref[0] = m_scr[:] + jnp.log(jnp.maximum(l, 1e-30))
 
 
+def _fwd_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
+                    q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr,
+                    acc_scr, *, block_q: int, block_k: int,
+                    dropout_rate: float, s_stride: int):
+    """Causal forward over the flattened lower-triangle grid.
+
+    Same math as _fwd_kernel, but program_id(1) walks ONLY the blocks that
+    intersect the triangle (scalar-prefetched step tables, exactly the
+    _bwd_fused_tri_kernel scheme). The rectangular causal grid's pl.when
+    skip costs no compute/DMA but each skipped step still occupies a
+    sequential slot of the ARBITRARY k dimension that carries the online-
+    softmax scratch; here skipped blocks don't exist, so the grid shrinks
+    by ~2x at square shapes."""
+    head_idx = pl.program_id(0)
+    step = pl.program_id(1)
+    kidx = ktab_ref[step]
+
+    @pl.when(kidx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = jtab_ref[step] * block_q
+    k_start = kidx * block_k
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0]
+    s = _causal_mask(s, q_start, k_start, block_k)
+
+    d = acc_scr.shape[-1]
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_curr = jnp.max(s, axis=1)[:, None]
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - _tile_lanes(m_next, s.shape[1]))
+    l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+    if dropout_rate > 0.0:
+        p = _apply_prob_dropout(p, seed_ref, head_idx, q_start, k_start,
+                                s_stride, dropout_rate)
+    acc_scr[:] = acc_scr[:] * _tile_lanes(alpha, d) + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_next
+
+    @pl.when(rowend_ref[step] == 1)
+    def _finalize():
+        l = l_scr[:]
+        inv = 1.0 / jnp.maximum(l, 1e-30)
+        out_ref[0] = (acc_scr[:] * _tile_lanes(inv, acc_scr.shape[-1])).astype(
+            out_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = m_scr[:] + jnp.log(jnp.maximum(l, 1e-30))
+
+
 def _default_blocks(t, s, causal=False):
     """Shape-aware block choice (swept on v5e at [4,16,1536,64]):
     non-causal wants the whole extent as one tile when it fits (fewer grid
@@ -275,6 +334,89 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
     bias = bias.astype(jnp.float32)[:, None, :]  # [B, 1, Sp]
     seed = _seed_arr(dropout_seed)
 
+    if causal:
+        # flattened lower-triangle grid (see _fwd_tri_kernel): skipped
+        # blocks don't exist instead of occupying sequential grid slots
+        jtab, ktab, rowend = _tri_tables(nq, nk, bq, bk)
+        n_steps = len(jtab)
+        area = float(bq * bk * n_steps) / float(tp * sp)
+
+        if need_residuals:
+            tri_kernel = functools.partial(
+                _fwd_tri_kernel, block_q=bq, block_k=bk,
+                dropout_rate=dropout_rate, s_stride=s_stride)
+            tri_out_specs = (
+                pl.BlockSpec((1, bq, d), lambda i, s, jt, kt, re:
+                             (i, jt[s], 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, _LANES), lambda i, s, jt, kt, re:
+                             (i, jt[s], 0), memory_space=pltpu.VMEM),
+            )
+            tri_out_shape = (
+                jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, tp, _LANES), jnp.float32),
+            )
+        else:
+            def tri_kernel(jt_ref, kt_ref, re_ref, seed_ref, bias_ref, q_ref,
+                           k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
+                _fwd_tri_kernel(jt_ref, kt_ref, re_ref, seed_ref, bias_ref,
+                                q_ref, k_ref, v_ref, out_ref, None, m_scr,
+                                l_scr, acc_scr, block_q=bq, block_k=bk,
+                                dropout_rate=dropout_rate, s_stride=s_stride)
+
+            tri_out_specs = pl.BlockSpec(
+                (1, bq, d), lambda i, s, jt, kt, re: (i, jt[s], 0),
+                memory_space=pltpu.VMEM)
+            tri_out_shape = jax.ShapeDtypeStruct((b * h, tp, d), q.dtype)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b * h, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, s, jt, kt, re: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, bk),
+                             lambda i, s, jt, kt, re: (i // h, 0, kt[s]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, d),
+                             lambda i, s, jt, kt, re: (i, jt[s], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, d),
+                             lambda i, s, jt, kt, re, h=h, rep=rep, kvh=kvh:
+                             ((i // h) * kvh + (i % h) // rep, kt[s], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, d),
+                             lambda i, s, jt, kt, re, h=h, rep=rep, kvh=kvh:
+                             ((i // h) * kvh + (i % h) // rep, kt[s], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tri_out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        )
+        result = pl.pallas_call(
+            tri_kernel,
+            grid_spec=grid_spec,
+            out_shape=tri_out_shape,
+            compiler_params=pltpu.CompilerParams(
+                # the step dim carries the online-softmax scratch
+                dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(4 * b * h * tp * sp * d * area),
+                bytes_accessed=q.dtype.itemsize * b * h
+                * (2 * t + 2 * s) * d,
+                transcendentals=int(b * h * tp * sp * area),
+            ),
+            interpret=_interpret(),
+        )(jnp.asarray(jtab), jnp.asarray(ktab), jnp.asarray(rowend),
+          seed, bias, qf, kf, vf)
+        out, lse = result if need_residuals else (result, None)
+        return out[:, :t, :].reshape(b, h, t, d), lse, (tp, sp)
+
     if need_residuals:
         kernel = functools.partial(_fwd_kernel, causal=causal, block_q=bq,
                                    block_k=bk, nk=nk,
@@ -302,15 +444,9 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b * h, tp, d), q.dtype)
 
-    if causal:
-        # clamp the k-block index on skipped (fully-above-diagonal) steps to
-        # the last needed block: a repeated block index elides the DMA, so
-        # skipped grid steps cost neither compute (pl.when) nor bandwidth
-        def kclamp(j, n, bq=bq, bk=bk):
-            return jnp.minimum(n, (j * bq + bq - 1) // bk)
-    else:
-        def kclamp(j, n):
-            return n
+    # non-causal only from here (the causal path returned above)
+    def kclamp(j, n):
+        return n
 
     result = pl.pallas_call(
         kernel,
