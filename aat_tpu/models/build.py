@@ -29,6 +29,13 @@ def build_audio_encoder(config: TrainingConfig, pretrained: bool = True):
     """→ (params, HubertConfig). Reference build_audio_encoder
     (trainer_train.py:195-225)."""
     if config.audio_encoder_type in ("hubert", "wav2vec2"):
+        import dataclasses
+
+        def apply_remat(params, cfg):
+            return params, dataclasses.replace(
+                cfg, remat=config.encoder_remat,
+                remat_policy=config.encoder_remat_policy)
+
         if pretrained:
             import transformers
 
@@ -42,13 +49,13 @@ def build_audio_encoder(config: TrainingConfig, pretrained: bool = True):
             torch_model = cls.from_pretrained(
                 config.audio_encoder_checkpoint, mask_time_prob=0.0
             ).eval()
-            return port_hubert(torch_model)
+            return apply_remat(*port_hubert(torch_model))
         cfg = (
             hub.hubert_large_config()
             if config.audio_encoder_type == "hubert"
             else hub.wav2vec2_large_config()
         )
-        return hub.init_hubert_params(jax.random.PRNGKey(0), cfg), cfg
+        return apply_remat(hub.init_hubert_params(jax.random.PRNGKey(0), cfg), cfg)
     if config.audio_encoder_type == "efficient_net":
         from aat_tpu.models.efficientnet import (
             build_efficientnet_encoder,

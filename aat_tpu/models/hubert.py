@@ -49,6 +49,12 @@ class HubertConfig:
     layerdrop: float = 0.0  # torch train-mode LayerDrop (whole-layer skip)
     attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
     remat: bool = False  # rematerialize encoder layers (memory for FLOPs)
+    # 'full': recompute the whole layer in the backward (max memory saving);
+    # 'dots': jax dots_with_no_batch_dims_saveable — matmul outputs are kept,
+    # so the backward recompute is elementwise-only plus the attention
+    # kernel re-run (the QKV/out/FFN GEMMs, ~80% of a layer's recompute
+    # FLOPs at whole-utterance lengths, run once instead of twice).
+    remat_policy: str = "full"  # 'full' | 'dots'
 
     @property
     def head_dim(self) -> int:
@@ -384,7 +390,9 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
         return hidden
 
     if config.remat:
-        layer_step = jax.checkpoint(layer_step)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if config.remat_policy == "dots" else None)
+        layer_step = jax.checkpoint(layer_step, policy=policy)
     for idx, layer in enumerate(params["layers"]):
         rng = (
             jax.random.fold_in(dropout_rng, idx)

@@ -38,6 +38,7 @@ class LlamaConfig:
     attention_bias: bool = False
     attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
     remat: bool = False  # rematerialize decoder layers (training only)
+    remat_policy: str = "full"  # 'full' | 'dots' (see HubertConfig)
 
     @property
     def head_dim(self) -> int:
@@ -285,7 +286,10 @@ def llama_forward(
         return hidden, new_cache
 
     if config.remat and kv_caches is None:
-        layer_step = jax.checkpoint(layer_step, static_argnums=())
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if config.remat_policy == "dots" else None)
+        layer_step = jax.checkpoint(layer_step, static_argnums=(),
+                                    policy=policy)
     for i, layer in enumerate(params["layers"]):
         cache = kv_caches[i] if kv_caches is not None else None
         hidden, new_cache = layer_step(hidden, layer, cache)

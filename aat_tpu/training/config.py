@@ -76,6 +76,12 @@ class TrainingConfig:
     # numerics / parallelism (TPU-native additions)
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # encoder-layer rematerialization (memory for FLOPs; whole-utterance
+    # T≈1500 training is the intended user). 'full' recomputes the whole
+    # layer in the backward; 'dots' keeps matmul outputs so the recompute
+    # is elementwise-only plus the attention kernel (models/hubert.py).
+    encoder_remat: bool = False
+    encoder_remat_policy: str = "full"  # 'full' | 'dots'
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
@@ -88,6 +94,10 @@ class TrainingConfig:
         ):
             # reference validate_different_datasets (config.py:59-62)
             raise ValueError("Datasets must not be the same for validation and train")
+        if self.encoder_remat_policy not in ("full", "dots"):
+            raise ValueError(
+                f"encoder_remat_policy must be 'full' or 'dots', got "
+                f"{self.encoder_remat_policy!r}")
 
 
 def overfit_one_batch_config() -> TrainingConfig:

@@ -330,9 +330,18 @@ def bench_train_whole_utterance(quick):
     }
     audio_seconds = bs * seconds
 
-    for impl in ("xla", "pallas"):
+    # (attention impl, remat mode): xla/pallas full-remat is the historical
+    # comparison; 'dots' saves matmul outputs (elementwise-only recompute +
+    # the attention-kernel re-run) and 'none' keeps all activations — at
+    # 2x30 s the whole no-remat step fits v5e's 16 GB comfortably, so remat
+    # is a batch-size lever, not a requirement
+    modes = [("xla", "full"), ("pallas", "full"),
+             ("pallas", "dots"), ("pallas", "none")]
+    for impl, remat_mode in modes:
         audio_cfg = dataclasses.replace(
-            hub.hubert_large_config(), attention_impl=impl, remat=True,
+            hub.hubert_large_config(), attention_impl=impl,
+            remat=remat_mode != "none",
+            remat_policy="dots" if remat_mode == "dots" else "full",
             # isolate kernel throughput: no stochastic rounding differences
             hidden_dropout=0.0, attention_dropout=0.0,
             activation_dropout=0.0, layerdrop=0.0,
@@ -361,7 +370,8 @@ def bench_train_whole_utterance(quick):
         for i in range(iters):
             trainer.training_step([sb], fetch_metrics=(i == iters - 1))
         dt = (time.perf_counter() - t0) / iters
-        report(f"whole_utterance_train_step_bf16_remat_{impl}", dt,
+        suffix = impl if remat_mode == "full" else f"{impl}_{remat_mode}"
+        report(f"whole_utterance_train_step_bf16_remat_{suffix}", dt,
                audio_seconds, "audio_s/s")
 
         from aat_tpu.utils.flops import aslm_train_step_flops, mfu
@@ -373,7 +383,7 @@ def bench_train_whole_utterance(quick):
             text_len, train_audio_encoder=True, train_lm_decoder=False,
         )
         print(json.dumps({
-            "metric": f"whole_utterance_mfu_pct_{impl}",
+            "metric": f"whole_utterance_mfu_pct_{suffix}",
             "value": round(100 * mfu(fl["total"], dt), 2),
             "unit": "% of v5e bf16 peak (remat recompute not counted)",
             "model_tflops_per_step": round(fl["total"] / 1e12, 3),

@@ -174,6 +174,17 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
     assert trainer.state.step == step_before
 
 
+def test_encoder_remat_policy_validated():
+    import pytest as _pytest
+
+    from aat_tpu.training.config import TrainingConfig as TC
+
+    with _pytest.raises(ValueError, match="encoder_remat_policy"):
+        TC(encoder_remat=True, encoder_remat_policy="selective")
+    cfg = TC(encoder_remat=True, encoder_remat_policy="dots")
+    assert cfg.encoder_remat_policy == "dots"
+
+
 @pytest.mark.slow
 def test_remat_matches_non_remat():
     import dataclasses
@@ -191,12 +202,26 @@ def test_remat_matches_non_remat():
     out_b, _ = hub.hubert_encode(params, cfg_r, wav, mask)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
 
-    # gradients flow through the rematerialized layers
-    def loss(p):
-        out, _ = hub.hubert_encode(p, cfg_r, wav, mask)
-        return jnp.sum(out ** 2)
+    # 'dots' policy (matmul outputs saved, elementwise-only recompute) must
+    # be value- and gradient-identical to full remat and to no remat
+    cfg_d = dataclasses.replace(cfg, remat=True, remat_policy="dots")
+    out_c, _ = hub.hubert_encode(params, cfg_d, wav, mask)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_c), atol=1e-6)
 
-    g = jax.grad(loss)(params)
+    def loss_with(cfg_x):
+        def loss(p):
+            out, _ = hub.hubert_encode(p, cfg_x, wav, mask)
+            return jnp.sum(out ** 2)
+        return loss
+
+    g_plain = jax.grad(loss_with(cfg))(params)
+    g_dots = jax.grad(loss_with(cfg_d))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the rematerialized layers
+    g = jax.grad(loss_with(cfg_r))(params)
     norm = optim_lib.global_norm(g)
     assert np.isfinite(float(norm)) and float(norm) > 0
 
