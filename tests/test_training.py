@@ -185,6 +185,23 @@ def test_encoder_remat_policy_validated():
     assert cfg.encoder_remat_policy == "dots"
 
 
+def test_build_audio_encoder_applies_remat(monkeypatch):
+    """TrainingConfig.encoder_remat/_policy must land on the built
+    HubertConfig (the CLI's only route to whole-utterance remat)."""
+    from aat_tpu.models import build as build_mod
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.training.config import TrainingConfig as TC
+
+    monkeypatch.setattr(build_mod.hub, "hubert_large_config",
+                        hub.tiny_test_config)
+    _, cfg = build_mod.build_audio_encoder(
+        TC(encoder_remat=True, encoder_remat_policy="dots"),
+        pretrained=False)
+    assert cfg.remat and cfg.remat_policy == "dots"
+    _, cfg = build_mod.build_audio_encoder(TC(), pretrained=False)
+    assert not cfg.remat
+
+
 @pytest.mark.slow
 def test_remat_matches_non_remat():
     import dataclasses
