@@ -157,7 +157,11 @@ def _causal_mask(s, q_start, k_start, block_k):
     — the conditional defeats Mosaic's software pipelining, costing far more
     than the iota/compare/select it saves. Block-level skipping of
     fully-above-diagonal blocks (pl.when(run) in the callers) is where the
-    causal win comes from."""
+    causal win comes from. (A compile-time [BQ, BK] position-difference
+    constant would drop the iotas, but pallas_call rejects captured array
+    constants; a monkeypatched no-mask A/B measured the whole select at
+    ~2% of kernel time — not worth plumbing a mask input through the
+    kernels.)"""
     q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(k_pos <= q_pos, s, _MASK)

@@ -206,6 +206,119 @@ def guard_nonfinite(inner: optax.GradientTransformation,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FusedGuardedAdamWState(NamedTuple):
+    count: jnp.ndarray            # int32, number of APPLIED (finite) steps
+    mu: optax.Updates             # first moments (MaskedNode on frozen leaves)
+    nu: optax.Updates             # second moments
+    total_notfinite: jnp.ndarray  # float32 count of dropped steps
+
+
+def fused_guarded_adamw(
+    learning_rate,
+    params,
+    weight_decay: float = 0.1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    clip_norm: Optional[float] = None,
+    freeze: Optional[dict] = None,
+) -> optax.GradientTransformation:
+    """Single-pass AdamW with the non-finite guard and global-norm clip
+    FUSED into the moment/update expressions.
+
+    Produces the same values as ``guard_nonfinite(adamw_grouped(...),
+    clip_norm=...)`` (tests/test_training.py pins the equivalence) but with
+    one elementwise kernel per leaf instead of a transformation chain. The
+    chain's cost structure at flagship scale (315M trained f32 params):
+    optax stages materialize intermediate update trees between
+    ``scale_by_adam`` / ``add_decayed_weights`` / ``scale_by_learning_rate``,
+    and the guard's post-hoc ``where`` blends over updates + both moments
+    re-read and re-write trees the Adam kernels just produced — measured
+    14.5 ms (AdamW) + 9.6 ms (guard) of an 83 ms step on v5e. Here every
+    leaf is one fused read(g, mu, nu, p) → write(mu', nu', update)
+    expression (28 B/param of HBM traffic, the AdamW roofline) plus the
+    single global-norm pass that the guard predicate and the folded clip
+    share.
+
+    Semantics (bit-matched to the chain):
+    * moments: ``mu' = (1-b1)·g + b1·mu`` with ``g = where(ok, clip·grad, 0)``
+      (optax ``update_moment`` expression order);
+    * bias correction at ``count+1`` (``safe_increment``), learning rate
+      evaluated at ``count`` — the pre-increment convention of
+      ``scale_by_schedule``;
+    * dropped steps (non-finite global grad norm): zero update, moments and
+      count unchanged, ``total_notfinite`` bumped — ``apply_if_finite``
+      drop semantics without its lax.cond;
+    * weight decay ``+ wd·p`` on the reference's decay group only
+      (non-bias, non-norm, ndim >= 2), applied before the lr scale;
+    * frozen leaves (``freeze`` mask False): zero updates, ``MaskedNode``
+      state (no memory), exactly like the ``multi_transform`` routing.
+    """
+    decay = decay_mask(params)
+    is_node = lambda x: isinstance(x, optax.MaskedNode)  # noqa: E731
+    train = (freeze if freeze is not None
+             else jax.tree.map(lambda _: True, params))
+
+    def init_fn(params):
+        mu = jax.tree.map(
+            lambda p, t: jnp.zeros_like(p) if t else optax.MaskedNode(),
+            params, train)
+        nu = jax.tree.map(
+            lambda p, t: jnp.zeros_like(p) if t else optax.MaskedNode(),
+            params, train)
+        return FusedGuardedAdamWState(
+            jnp.zeros((), jnp.int32), mu, nu, jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        gn = optax.global_norm(updates)
+        ok = jnp.isfinite(gn)
+        okf = ok.astype(jnp.float32)
+        if clip_norm is not None:
+            scale = jnp.where(gn < clip_norm, 1.0, clip_norm / gn)
+        else:
+            scale = jnp.ones((), jnp.float32)
+        count_inc = optax.safe_increment(state.count)
+        new_count = jnp.where(ok, count_inc, state.count)
+        lr_t = (learning_rate(state.count) if callable(learning_rate)
+                else jnp.asarray(learning_rate, jnp.float32))
+        # optax.tree.bias_correction computes decay**count with the int32
+        # count — keep the same expression for bit parity
+        bc1 = 1.0 - b1 ** count_inc
+        bc2 = 1.0 - b2 ** count_inc
+
+        u_leaves, u_def = jax.tree.flatten(updates)
+        mu_leaves = jax.tree.flatten(state.mu, is_leaf=is_node)[0]
+        nu_leaves = jax.tree.flatten(state.nu, is_leaf=is_node)[0]
+        p_leaves = jax.tree.flatten(params)[0]
+        d_leaves = jax.tree.flatten(decay)[0]
+        t_leaves = jax.tree.flatten(train)[0]
+
+        new_u, new_mu, new_nu = [], [], []
+        for g, m, v, p, d, t in zip(u_leaves, mu_leaves, nu_leaves,
+                                    p_leaves, d_leaves, t_leaves):
+            if not t:
+                new_u.append(jnp.zeros_like(g))
+                new_mu.append(optax.MaskedNode())
+                new_nu.append(optax.MaskedNode())
+                continue
+            gs = jnp.where(ok, g * scale.astype(g.dtype),
+                           jnp.zeros((), g.dtype))
+            m_ok = (1.0 - b1) * gs + b1 * m
+            v_ok = (1.0 - b2) * (gs ** 2) + b2 * v
+            direction = (m_ok / bc1) / (jnp.sqrt(v_ok / bc2) + eps)
+            if d:
+                direction = direction + weight_decay * p
+            upd = (-lr_t).astype(g.dtype) * direction
+            new_u.append(jnp.where(ok, upd, jnp.zeros((), upd.dtype)))
+            new_mu.append(jnp.where(ok, m_ok, m))
+            new_nu.append(jnp.where(ok, v_ok, v))
+        return u_def.unflatten(new_u), FusedGuardedAdamWState(
+            new_count, u_def.unflatten(new_mu), u_def.unflatten(new_nu),
+            state.total_notfinite + (1.0 - okf))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def merge_matching_state(old_state, new_state):
     """Carry optimizer-state leaves from ``old_state`` into ``new_state``
     wherever path, shape and dtype match.

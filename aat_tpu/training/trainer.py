@@ -160,6 +160,18 @@ class AATTrainer:
         # grads (stop_gradient), so the full-tree norm equals the
         # trainable-only norm the in-chain clip would compute.
         fold_clip = cfg.skip_nonfinite_updates and cfg.optimizer == "adamw"
+        if cfg.optimizer == "adamw" and cfg.skip_nonfinite_updates:
+            # single-pass fused AdamW+guard: one elementwise kernel per leaf
+            # (28 B/param HBM roofline) + one shared global-norm pass,
+            # value-identical to the chain below (optim.fused_guarded_adamw;
+            # the chain + guard blends measured 14.5 + 9.6 ms of an 83 ms
+            # flagship step)
+            return optim_lib.fused_guarded_adamw(
+                self.schedule, params,
+                weight_decay=cfg.weight_decay,
+                clip_norm=cfg.grad_clip_norm,
+                freeze=self.freeze,
+            )
         if cfg.optimizer == "adamw":
             tx = optim_lib.adamw_grouped(
                 self.schedule, params,

@@ -73,6 +73,65 @@ def test_freeze_mask_blocks_updates():
     assert np.abs(np.asarray(updates["adapter"]["w"])).max() > 0
 
 
+def test_fused_guarded_adamw_matches_chain():
+    """fused_guarded_adamw must reproduce guard_nonfinite(adamw_grouped(...))
+    step for step — finite, clipped, non-finite, and frozen-leaf cases. The
+    fused version exists purely for the kernel fusion (one elementwise pass
+    per leaf instead of the optax chain + post-hoc guard blends)."""
+    params = {
+        "audio_encoder": {"kernel": jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (8, 8)), jnp.float32)},
+        "adapter": {
+            "kernel": jnp.asarray(
+                np.random.default_rng(1).normal(0, 1, (8, 4)), jnp.float32),
+            "bias": jnp.asarray(
+                np.random.default_rng(2).normal(0, 1, (4,)), jnp.float32),
+            "norm": {"scale": jnp.ones((4,), jnp.float32)},
+        },
+        "lm_decoder": {"kernel": jnp.ones((4, 4), jnp.float32)},
+    }
+    freeze = optim_lib.trainable_mask(
+        params, train_audio_encoder=True, train_lm_decoder=False)
+    lr = lambda step: 1e-2 / (1.0 + step.astype(jnp.float32))  # noqa: E731
+
+    for clip in (None, 0.5):
+        ref = optim_lib.guard_nonfinite(
+            optim_lib.adamw_grouped(lr, params, weight_decay=0.1,
+                                    freeze=freeze),
+            clip_norm=clip)
+        fused = optim_lib.fused_guarded_adamw(
+            lr, params, weight_decay=0.1, clip_norm=clip, freeze=freeze)
+        p_ref, s_ref = dict(params), ref.init(params)
+        p_fused, s_fused = dict(params), fused.init(params)
+        rng = np.random.default_rng(3)
+        for step in range(6):
+            if step == 2:  # a NaN step must drop identically on both
+                grads = jax.tree.map(lambda p: p * jnp.nan, params)
+            elif step == 4 and clip is not None:  # force the clip branch
+                grads = jax.tree.map(lambda p: p * 100.0, params)
+            else:
+                grads = jax.tree.map(
+                    lambda p: jnp.asarray(
+                        rng.normal(0, 1, p.shape), p.dtype), params)
+            u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+            u_fused, s_fused = fused.update(grads, s_fused, p_fused)
+            import optax
+
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fused = optax.apply_updates(p_fused, u_fused)
+            for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-6, atol=1e-7)
+        assert float(s_fused.total_notfinite) == float(
+            s_ref.total_notfinite) == 1.0
+        # frozen leaves carry no state in either layout
+        assert not jax.tree.leaves(
+            jax.tree.map(lambda x: x,
+                         s_fused.mu["lm_decoder"],
+                         is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+        ) or isinstance(s_fused.mu["lm_decoder"]["kernel"], optax.MaskedNode)
+
+
 def tiny_model():
     config = AslmConfig(
         projection_type="linear",
