@@ -34,31 +34,7 @@ import jax.numpy as jnp  # noqa: E402
 from aat_tpu.ops import attention as att  # noqa: E402
 
 
-def measure_rtt():
-    z = jax.jit(lambda x: x + 1.0)(jnp.zeros(()))
-    float(z)
-    best = float("inf")
-    for _ in range(8):
-        t0 = time.perf_counter()
-        float(jax.jit(lambda x: x + 1.0)(z))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def scan_time(fn, x, iters, rtt, reps=4):
-    def step(carry, _):
-        return fn(carry), None
-
-    run = jax.jit(lambda x: jax.lax.scan(step, x, None, length=iters)[0])
-    out = run(x)
-    float(out.ravel()[0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = run(x)
-        float(out.ravel()[0])
-        best = min(best, time.perf_counter() - t0 - rtt)
-    return best / iters
+from scan_timing import scan_time_diff
 
 
 def main():
@@ -80,9 +56,6 @@ def main():
     fwd_flops = 4 * b * h * t * t * d / 2        # causal triangle only
     bwd_flops = fwd_flops * 3.5                  # fwd(4) + fused bwd(10)
 
-    rtt = measure_rtt()
-    print(json.dumps({"fetch_rtt_ms": round(rtt * 1e3, 1)}), flush=True)
-
     blocks = [int(x) for x in args.blocks.split(",")]
     combos = [(bq, bk) for bq, bk in itertools.product(blocks, blocks)
               if bq * bk * 4 <= att._SCORE_VMEM_BUDGET]
@@ -90,7 +63,7 @@ def main():
     results = {"fwd": {}, "fwdbwd": {}}
 
     def fwd_fn(bq, bk):
-        def f(x):
+        def f(x, k, v, mask):
             out = att._flash_forward(x, k, v, mask, True, sm,
                                      block_q=bq, block_k=bk,
                                      need_residuals=False)[0]
@@ -99,7 +72,7 @@ def main():
 
     def fwdbwd_fn(fbq, fbk, bbq, bbk):
         # direct vjp wiring so the backward blocks are sweepable
-        def f(x):
+        def f(x, k, v, mask):
             out, lse, _ = att._flash_forward(x, k, v, mask, True, sm,
                                              block_q=fbq, block_k=fbk)
             g = out  # any cotangent; reuse out to stay data-dependent
@@ -112,7 +85,7 @@ def main():
         if not args.bwd_only:
             for bq, bk in combos:
                 try:
-                    dt = scan_time(fwd_fn(bq, bk), q, args.iters, rtt)
+                    dt = scan_time_diff(fwd_fn(bq, bk), q, iters_hi=args.iters + 20, iters_lo=20, consts=(k, v, mask))
                 except Exception as e:  # noqa: BLE001 — sweep survives bad configs
                     print(json.dumps({"kind": "fwd", "bq": bq, "bk": bk,
                                       "error": str(e)[:160]}), flush=True)
@@ -126,8 +99,9 @@ def main():
         if not args.fwd_only:
             for bq, bk in combos:
                 try:
-                    dt = scan_time(fwdbwd_fn(512, 512, bq, bk), q,
-                                   args.iters, rtt)
+                    dt = scan_time_diff(fwdbwd_fn(512, 512, bq, bk), q,
+                                         iters_hi=args.iters + 20, iters_lo=20,
+                                         consts=(k, v, mask))
                 except Exception as e:  # noqa: BLE001
                     print(json.dumps({"kind": "fwd+bwd", "bq": bq, "bk": bk,
                                       "error": str(e)[:160]}), flush=True)
