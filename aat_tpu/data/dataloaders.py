@@ -51,6 +51,8 @@ class BatchIterator:
         is_validation: bool = False,
         shard_index: int = 0,
         num_shards: int = 1,
+        bucket_key: Optional[Callable] = None,
+        bucket_pool_batches: int = 50,
     ):
         self.items = items
         self.collate_fn = collate_fn
@@ -60,6 +62,18 @@ class BatchIterator:
         self.seed = seed
         self.prefetch = prefetch
         self.is_validation = is_validation
+        # length bucketing (fairseq/t5x recipe): shuffle globally, cut the
+        # permutation into pools of ``bucket_pool_batches`` batches, sort
+        # each pool by ``bucket_key`` (e.g. waveform length), form batches
+        # inside the pool, then shuffle the batch ORDER. Batches then pad to
+        # near-uniform lengths — on TPU that means less wasted compute on
+        # padding and fewer distinct compiled shapes when shapes are
+        # bucket-rounded — while keeping epoch-level randomness. The
+        # reference pads every batch to its longest member with no length
+        # grouping (collate.py pad_waveforms).
+        self.bucket_key = bucket_key
+        self.bucket_pool_batches = bucket_pool_batches
+        self._bucket_lengths: Optional[np.ndarray] = None
         # multihost data parallelism: each process iterates a distinct,
         # equal-size interleaved shard of the same seeded permutation
         # (accelerate/DistributedSampler semantics — every host must yield
@@ -88,12 +102,29 @@ class BatchIterator:
             # truncate to a multiple of num_shards so every shard is equal
             usable = (len(idx) // self.num_shards) * self.num_shards
             idx = idx[self.shard_index:usable:self.num_shards]
+        if self.bucket_key is not None:
+            if self._bucket_lengths is None:
+                self._bucket_lengths = np.asarray(
+                    [self.bucket_key(it) for it in self.items], np.float64)
+            pool = max(self.bucket_pool_batches, 1) * self.batch_size
+            sorted_pools = [
+                idx[i:i + pool][np.argsort(
+                    self._bucket_lengths[idx[i:i + pool]], kind="stable")]
+                for i in range(0, len(idx), pool)
+            ]
+            idx = np.concatenate(sorted_pools) if sorted_pools else idx
         batches = []
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i : i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             batches.append(chunk)
+        if self.bucket_key is not None and self.shuffle and len(batches) > 1:
+            # restore stochastic batch order (sorting made it length-ordered);
+            # same seed on every shard keeps multihost iteration in lockstep
+            order = np.random.default_rng(
+                self.seed * 7919 + self._epoch + 1).permutation(len(batches))
+            batches = [batches[int(i)] for i in order]
         return batches
 
     def _collate(self, chunk) -> dict:
@@ -154,6 +185,8 @@ def build_dataloaders(
     seed: int = 42,
     shard_index: Optional[int] = None,
     num_shards: Optional[int] = None,
+    bucket_by_duration: bool = False,
+    bucket_pool_batches: int = 50,
 ):
     """Train/val iterator pair (reference build_dataloaders,
     dataloaders.py:93-111).
@@ -173,9 +206,15 @@ def build_dataloaders(
         train_items = train_items[:few_train_samples]
     if few_val_samples is not None:
         val_items = val_items[:few_val_samples]
+    bucket_key = None
+    if bucket_by_duration:
+        def bucket_key(item):  # noqa: F811 — raw length proxies duration
+            return len(item["audio"]["array"])
+
     train = BatchIterator(
         train_items, collate_fn, batch_size, shuffle=True, drop_last=True, seed=seed,
         shard_index=shard_index, num_shards=num_shards,
+        bucket_key=bucket_key, bucket_pool_batches=bucket_pool_batches,
     )
     val = BatchIterator(
         val_items,

@@ -64,6 +64,12 @@ class TrainingConfig:
     few_val_samples: int = 100
     add_prefix: bool = True
     noise_augmentation: bool = False
+    # length-bucketed batching: sort pools of batches by waveform length so
+    # batch padding is near-uniform (TPU win: less padded compute, fewer
+    # compiled shapes). The reference pads each batch to its longest member
+    # with no grouping (collate.py pad_waveforms).
+    bucket_by_duration: bool = False
+    bucket_pool_batches: int = 50
     train_dataset_path: Optional[str] = None
     validation_dataset_path: Optional[str] = None
 

@@ -164,9 +164,16 @@ def main():
     import jax
 
     shard = dict(shard_index=jax.process_index(), num_shards=jax.process_count())
+    bucket_key = None
+    if config.bucket_by_duration:
+        def bucket_key(item):  # noqa: F811
+            return len(item["audio"]["array"])
+
     train_iter = BatchIterator(
         items, collate, config.per_device_train_batch_size,
         shuffle=True, drop_last=True, seed=config.seed, **shard,
+        bucket_key=bucket_key,
+        bucket_pool_batches=config.bucket_pool_batches,
     )
     val_iter = lambda: BatchIterator(  # noqa: E731
         val_items, collate, min(len(val_items), 20),

@@ -117,3 +117,66 @@ def test_batch_iterator_process_sharding():
                           prefetch=0, shard_index=2, num_shards=4)
     np.testing.assert_array_equal(
         np.concatenate([b["ids"] for b in again]), np.concatenate(outs[2]))
+
+
+def test_batch_iterator_length_bucketing():
+    """Pooled length bucketing: batches group similar lengths (padding waste
+    drops), every item still appears exactly once per epoch, batch order is
+    shuffled, and epochs are deterministic under set_epoch."""
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(100, 10_000, size=64)
+    items = [{"len": int(n)} for n in lengths]
+
+    def collate(batch, is_validation=False):
+        return {"lens": np.asarray([b["len"] for b in batch])}
+
+    def key(item):
+        return item["len"]
+
+    def padding_waste(batches):
+        padded = sum(b["lens"].max() * len(b["lens"]) for b in batches)
+        real = sum(b["lens"].sum() for b in batches)
+        return (padded - real) / padded
+
+    plain = BatchIterator(items, collate, batch_size=8, shuffle=True,
+                          drop_last=True, seed=1, prefetch=0)
+    bucketed = BatchIterator(items, collate, batch_size=8, shuffle=True,
+                             drop_last=True, seed=1, prefetch=0,
+                             bucket_key=key, bucket_pool_batches=4)
+    pb = list(plain)
+    bb = list(bucketed)
+    # same coverage: every item exactly once
+    assert sorted(x for b in bb for x in b["lens"]) == sorted(lengths.tolist())
+    assert padding_waste(bb) < padding_waste(pb) * 0.5
+    # deterministic replay of the same epoch
+    bucketed2 = BatchIterator(items, collate, batch_size=8, shuffle=True,
+                              drop_last=True, seed=1, prefetch=0,
+                              bucket_key=key, bucket_pool_batches=4)
+    for a, b in zip(bb, list(bucketed2)):
+        np.testing.assert_array_equal(a["lens"], b["lens"])
+    # batch order is not globally length-sorted (the order shuffle ran)
+    maxes = [b["lens"].max() for b in bb]
+    assert maxes != sorted(maxes)
+
+
+def test_batch_iterator_bucketing_shards_lockstep():
+    """Multihost: bucketing must keep every shard's batch count equal and
+    coverage disjoint/complete (DistributedSampler semantics)."""
+    items = [{"len": int(n)} for n in
+             np.random.default_rng(2).integers(100, 5000, size=48)]
+
+    def collate(batch, is_validation=False):
+        return {"lens": np.asarray([b["len"] for b in batch])}
+
+    shards = [
+        list(BatchIterator(items, collate, batch_size=4, shuffle=True,
+                           drop_last=True, seed=3, prefetch=0,
+                           bucket_key=lambda it: it["len"],
+                           bucket_pool_batches=3,
+                           shard_index=i, num_shards=2))
+        for i in range(2)
+    ]
+    assert len(shards[0]) == len(shards[1]) == 6  # 48/2 items / 4 per batch
+    all_lens = sorted(
+        int(x) for sh in shards for b in sh for x in b["lens"])
+    assert all_lens == sorted(it["len"] for it in items)
