@@ -175,8 +175,16 @@ def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_i
     new_cache = None
     if kv_cache is not None:
         ck, cv = kv_cache  # [B, nkv, L_cache, D]
-        k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
-        v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        if jnp.ndim(cache_index) == 1:
+            # per-row write offsets (continuous batching: every slot is at
+            # its own decode position); single-token steps only
+            assert t == 1, "vector cache_index requires single-token decode"
+            bidx = jnp.arange(b)
+            k = ck.at[bidx, :, cache_index, :].set(k[:, :, 0, :].astype(ck.dtype))
+            v = cv.at[bidx, :, cache_index, :].set(v[:, :, 0, :].astype(cv.dtype))
+        else:
+            k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
         new_cache = (k, v)
 
     if nkv != nh:
@@ -227,13 +235,19 @@ def causal_mask_bias(
 
     ``attention_mask``: [B, kv_len] 1/0 padding mask over the key axis.
     ``q_offset``: position of query 0 in the kv axis (0 for prefill,
-    cache_index for decode).
+    cache_index for decode) — a scalar, or a per-row [B] vector when rows
+    decode at different cache offsets (continuous batching,
+    aat_tpu.serving.engine).
     """
     neg = jnp.finfo(jnp.float32).min
-    q_pos = jnp.arange(q_len)[:, None] + q_offset
     k_pos = jnp.arange(kv_len)[None, :]
-    causal = k_pos <= q_pos  # [Q, K]
-    allowed = causal[None, :, :] & (attention_mask[:, None, :] > 0)
+    if jnp.ndim(q_offset) == 1:
+        q_pos = jnp.arange(q_len)[None, :, None] + q_offset[:, None, None]
+        causal = k_pos[None] <= q_pos  # [B, Q, K]
+    else:
+        q_pos = jnp.arange(q_len)[:, None] + q_offset
+        causal = (k_pos <= q_pos)[None, :, :]  # [1, Q, K]
+    allowed = causal & (attention_mask[:, None, :] > 0)
     return jnp.where(allowed, 0.0, neg)[:, None, :, :]
 
 
