@@ -90,6 +90,7 @@ class DecodeEngine:
         )
         self._submit_fn = jax.jit(self._make_submit(), donate_argnums=(1,))
         self._step_fn = jax.jit(self._make_step(), donate_argnums=(1,))
+        self._chunk_fns: Dict[int, callable] = {}
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -217,6 +218,32 @@ class DecodeEngine:
         done = np.nonzero(np.asarray(finished))[0]
         if len(done):
             gen_host = np.asarray(generated[done])
+            for row, slot in enumerate(done):
+                self._results[int(slot)] = gen_host[row]
+        return [int(d) for d in done]
+
+    def run_steps(self, n: int) -> List[int]:
+        """Advance every active slot by up to ``n`` tokens in ONE dispatch
+        (``lax.scan`` over the step body) — no per-token streaming, but on a
+        remoted backend it amortizes the dispatch+fetch round trip across n
+        tokens. Returns the slots that finished during the chunk."""
+        if n not in self._chunk_fns:
+            step = self._make_step()
+
+            def chunk(params, state):
+                def body(st, _):
+                    st, _aux = step(params, st)
+                    return st, None
+
+                return jax.lax.scan(body, state, None, length=n)[0]
+
+            self._chunk_fns[n] = jax.jit(chunk, donate_argnums=(1,))
+        prev_active = np.asarray(self.state.active)
+        self.state = self._chunk_fns[n](self.params, self.state)
+        now_active = np.asarray(self.state.active)
+        done = np.nonzero(prev_active & ~now_active)[0]
+        if len(done):
+            gen_host = np.asarray(self.state.generated[done])
             for row, slot in enumerate(done):
                 self._results[int(slot)] = gen_host[row]
         return [int(d) for d in done]

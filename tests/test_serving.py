@@ -108,3 +108,27 @@ def test_engine_repetition_penalty_diverges():
     rb = pen.drain()[b]
     # the penalized run must avoid immediate self-repeats the base commits
     assert not np.array_equal(ra, rb)
+
+
+def test_engine_chunked_steps_match_stepwise():
+    """run_steps(n) (one lax.scan dispatch) must produce exactly the
+    stepwise results."""
+    cfg, params = tiny_lm()
+    p0, max_new = 10, 12
+    lengths = [4, 9, 6]
+    embeds, mask = make_prefixes(cfg, lengths, p0, seed=7)
+    want = reference_greedy(cfg, params, embeds, mask, max_new)
+
+    eng = DecodeEngine(params, cfg, EngineConfig(
+        max_slots=4, max_prefill_len=p0, max_new_tokens=max_new,
+        eos_token_id=2, cache_dtype="float32"))
+    slots = [eng.submit(embeds[i], mask[i]) for i in range(3)]
+    results = {}
+    for _ in range(6):
+        for slot in eng.run_steps(4):
+            results[slot] = eng.result(slot)
+        if len(results) == 3:
+            break
+    assert len(results) == 3
+    for i, slot in enumerate(slots):
+        np.testing.assert_array_equal(results[slot], want[i])
