@@ -211,58 +211,17 @@ class AATTrainer:
     def _segment_on_device(self, batch):
         """On-TPU datagen (north-star config 5): raw padded waveforms →
         adaptive segmentation → dense segment batch, all inside the step's
-        jit — zero host round-trips. Replaces the host collator's audio work
-        (text tokenization stays host-side by nature)."""
-        from aat_tpu.ops.ragged import materialize_segments
-        from aat_tpu.ops.segmentation import (
-            TokenizerConfig, segment_waveforms, uniform_segment_table,
-        )
+        jit — zero host round-trips (shared helper: data/ondevice.py)."""
+        from aat_tpu.data.ondevice import segment_raw_batch
 
-        tok_cfg = getattr(self, "tokenizer_config", None) or TokenizerConfig(
+        return segment_raw_batch(
+            batch,
+            segmentation=self.config.segmentation,
+            max_segment_frames=self.config.max_segment_frames,
             max_segments=self.config.max_on_device_segments,
-            max_segment_duration_milliseconds=(
-                self.config.max_segment_frames * 1000 // self.config.sampling_rate
-            ),
+            sampling_rate=self.config.sampling_rate,
+            tokenizer_config=getattr(self, "tokenizer_config", None),
         )
-        waveforms = batch["raw_waveforms"].astype(jnp.float32)
-        lengths = batch["raw_lengths"].astype(jnp.int32)
-        valid = jnp.arange(waveforms.shape[-1])[None, :] < lengths[:, None]
-        n = jnp.maximum(lengths, 1).astype(jnp.float32)[:, None]
-
-        # tokenizer normalization (mean/std eps 1e-6, reference collate :135-138)
-        mean = jnp.sum(jnp.where(valid, waveforms, 0), -1, keepdims=True) / n
-        var = jnp.sum(jnp.where(valid, (waveforms - mean) ** 2, 0), -1, keepdims=True) / n
-        tok_norm = jnp.where(valid, (waveforms - mean) / (jnp.sqrt(var) + 1e-6), 0)
-
-        if self.config.segmentation == "uniform":
-            table = uniform_segment_table(
-                lengths, self.config.max_segment_frames, tok_cfg.max_segments
-            )
-        else:
-            table = segment_waveforms(tok_norm, lengths, tok_cfg)
-
-        # processor normalization for segment content (eps 1e-7, :301)
-        proc_norm = jnp.where(valid, (waveforms - mean) * jax.lax.rsqrt(var + 1e-7), 0)
-        # block row-gathers need starts aligned BY CONSTRUCTION: uniform
-        # starts are multiples of max_segment_frames, but adaptive emits a
-        # misaligned start whenever the final span triggers the min-shift
-        # rule (start = length - min_frames, lengths arbitrary mod 40) —
-        # adaptive therefore uses the arbitrary-start dynamic-slice path.
-        aligned = (
-            self.config.segmentation == "uniform"
-            and proc_norm.shape[-1] % tok_cfg.start_granularity == 0
-        )
-        segments, frame_mask = materialize_segments(
-            proc_norm, table["starts"], table["ends"], table["out_lens"],
-            table["segment_mask"], tok_cfg.max_segment_frames,
-            start_granularity=tok_cfg.start_granularity if aligned else 1,
-        )
-        return {
-            **batch,
-            "batched_segments": segments,
-            "segments_waveforms_mask": frame_mask.astype(jnp.float32),
-            "segments_boarders_attention_mask": table["segment_mask"].astype(jnp.int32),
-        }
 
     def _stop_grad_frozen(self, params):
         """Reference no_grad semantics for frozen submodules

@@ -6,6 +6,8 @@ its greedy outputs must equal ``greedy_generate``'s for the same prefixes
 (same cache layout: padded prefix region + per-step slots, RoPE positions
 from true lengths)."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -132,3 +134,45 @@ def test_engine_chunked_steps_match_stepwise():
     assert len(results) == 3
     for i, slot in enumerate(slots):
         np.testing.assert_array_equal(results[slot], want[i])
+
+
+def test_serve_cli_smoke(tmp_path):
+    """End-to-end: tiny export -> scripts/serve.py --random-demo drives the
+    full speech path (on-device segmentation -> encoder -> engine decode)
+    and prints one JSON line per utterance."""
+    import io
+    import json as json_mod
+    import sys as sys_mod
+    from contextlib import redirect_stdout
+
+    from tests.test_training import tiny_model
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.trainer import AATTrainer
+
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    cfg = TrainingConfig(
+        learning_rate=1e-3, train_audio_encoder=True, train_lm_decoder=True,
+        compute_dtype="float32", output_dir=str(tmp_path / "out"),
+    )
+    trainer = AATTrainer(model, params, cfg)
+    export = str(tmp_path / "export")
+    trainer.save_pretrained(export)
+
+    sys_mod.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import serve
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = serve.main([
+            "--model-dir", export, "--random-demo", "2", "--max-slots", "2",
+            "--max-new-tokens", "6", "--max-segments", "8", "--chunk", "3",
+        ])
+    assert rc == 0
+    lines = [json_mod.loads(x) for x in buf.getvalue().strip().splitlines()]
+    assert len(lines) == 2
+    for rec in lines:
+        assert "ids" in rec or "text" in rec
+        ids = rec.get("ids")
+        if ids is not None:
+            assert len(ids) == 6
