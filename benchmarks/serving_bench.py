@@ -75,18 +75,35 @@ def main():
     float(eng.state.n_gen[0])
     rtt = time.perf_counter() - rtt0
 
-    n_steps = args.steps - 4
+    n_steps = (args.steps - 4) // 2
     t0 = time.perf_counter()
     for _ in range(n_steps):
         eng.step()
     wall = time.perf_counter() - t0
     toks = n_steps * args.slots
     print(json.dumps({
-        "decode_steps": n_steps, "slots": args.slots,
+        "mode": "streaming", "decode_steps": n_steps, "slots": args.slots,
         "wall_s": round(wall, 3),
         "tok_s_wall": round(toks / wall, 1),
         "ms_per_step_wall": round(wall / n_steps * 1e3, 2),
         "fetch_rtt_ms": round(rtt * 1e3, 1),
+    }), flush=True)
+
+    # chunked decode (run_steps): one dispatch per CHUNK tokens-per-slot
+    chunk = 16
+    eng.run_steps(chunk)  # compile
+    remaining = args.steps - 4 - n_steps - chunk
+    n_chunks = max(remaining // chunk, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        eng.run_steps(chunk)
+    wall = time.perf_counter() - t0
+    toks = n_chunks * chunk * args.slots
+    print(json.dumps({
+        "mode": "chunked", "chunk": chunk, "n_chunks": n_chunks,
+        "slots": args.slots, "wall_s": round(wall, 3),
+        "tok_s_wall": round(toks / wall, 1),
+        "ms_per_token_step": round(wall / (n_chunks * chunk) * 1e3, 2),
     }), flush=True)
 
 
