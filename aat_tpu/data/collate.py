@@ -133,7 +133,11 @@ class TokenizedAudioWaveformCollator:
             path = os.path.join(self.melspec_cache_dir, str(item["id"]) + ".npy")
             if os.path.exists(path):
                 try:
-                    return np.load(path), None
+                    # memory-mapped: the n_words crop and per-segment mel
+                    # batching read windows, not whole spectrograms — mmap
+                    # defers IO to the slices actually touched (downstream
+                    # only slices/stacks, never mutates in place)
+                    return np.load(path, mmap_mode="r"), None
                 except Exception:  # noqa: BLE001 — cache fallback (reference :132-136)
                     pass
         normed = mel_ops.normalize_waveform(waveform)

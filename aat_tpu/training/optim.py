@@ -253,6 +253,14 @@ def fused_guarded_adamw(
       (non-bias, non-norm, ndim >= 2), applied before the lr scale;
     * frozen leaves (``freeze`` mask False): zero updates, ``MaskedNode``
       state (no memory), exactly like the ``multi_transform`` routing.
+
+    Layout note (measured 2026-08-18, benchmarks/RESULTS.md): a flat-buffer
+    variant — all trainable moments in one [n] f32 array, one monolithic
+    update kernel — was built and A/B'd at flagship scale and lost by 17
+    ms/step: XLA lowers the 390-leaf grad concatenate at 0.32 TB/s and
+    pipelines the monolith worse than per-leaf fusions, while per-leaf
+    small-kernel overhead is only ~0.2 ms/step. Per-leaf is the right
+    layout on this compiler; don't re-flatten without re-measuring.
     """
     decay = decay_mask(params)
     is_node = lambda x: isinstance(x, optax.MaskedNode)  # noqa: E731

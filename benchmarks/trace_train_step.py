@@ -26,20 +26,36 @@ enable_compilation_cache()
 
 
 CATEGORIES = [
+    ("attention(pallas)", re.compile(r"custom-call|tpu_custom_call")),
     ("conv", re.compile(r"conv")),
     ("matmul/dot", re.compile(r"dot|gemm|einsum")),
-    ("adam/opt", re.compile(r"adam|mul_sub|rsqrt|guard")),
     ("copy/transpose", re.compile(r"copy|transpose|bitcast")),
     ("reduce", re.compile(r"reduce")),
     ("fusion(other)", re.compile(r"fusion")),
-    ("attention(pallas)", re.compile(r"custom-call|tpu_custom_call")),
 ]
 
+_SHAPE = re.compile(r"=\s*\(?\s*(?:bf16|f32|f16|s32|u32|s8|u8|pred)\[([0-9,]*)\]")
 
-def categorize(name: str) -> str:
+
+def _out_elems(long_name: str) -> int:
+    """Element count of the op's (first) output — classifies tiny-kernel
+    overhead (per-leaf bias updates etc.) separately from real compute."""
+    m = _SHAPE.search(long_name)
+    if not m:
+        return 1 << 30
+    dims = [int(x) for x in m.group(1).split(",") if x]
+    n = 1
+    for d in dims:
+        n *= d
+    return n
+
+
+def categorize(name: str, long_name: str = "") -> str:
     low = name.lower()
     for label, pat in CATEGORIES:
         if pat.search(low):
+            if label == "fusion(other)" and _out_elems(long_name) <= 8192:
+                return "small-op(<=8K elems)"
             return label
     return "other"
 
@@ -105,25 +121,34 @@ def main():
         trace = json.load(f)
     events = trace["traceEvents"]
 
-    # find the TPU device pid (process_name metadata mentions the device)
+    # find the TPU device pid and its "XLA Ops" thread — other lanes
+    # ("Steps", "XLA Modules") carry per-step envelope events that would
+    # double-count every HLO op underneath them
     device_pids = set()
+    op_tids = {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
-            if "TPU" in name or "/device" in name:
-                device_pids.add(e["pid"])
+        if e.get("ph") != "M":
+            continue
+        name = e.get("args", {}).get("name", "")
+        if e.get("name") == "process_name" and ("TPU" in name or "/device" in name):
+            device_pids.add(e["pid"])
+        if e.get("name") == "thread_name" and name == "XLA Ops":
+            op_tids[e["pid"]] = e["tid"]
     by_name = defaultdict(float)
+    long_names = {}
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if (e.get("ph") != "X" or e.get("pid") not in device_pids
+                or e.get("tid") != op_tids.get(e["pid"])):
             continue
         dur = e.get("dur", 0) / 1e6 / n_traced  # us -> s, per step
         by_name[e["name"]] += dur
+        long_names.setdefault(e["name"], e.get("args", {}).get("long_name", ""))
         total += dur
 
     by_cat = defaultdict(float)
     for name, dur in by_name.items():
-        by_cat[categorize(name)] += dur
+        by_cat[categorize(name, long_names[name])] += dur
     print(json.dumps({"device_total_ms_per_step": round(total * 1e3, 2),
                       "trace": path}))
     for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
