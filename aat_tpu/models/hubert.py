@@ -55,6 +55,14 @@ class HubertConfig:
     # kernel re-run (the QKV/out/FFN GEMMs, ~80% of a layer's recompute
     # FLOPs at whole-utterance lengths, run once instead of twice).
     remat_policy: str = "full"  # 'full' | 'dots'
+    # Sequence parallelism (whole-utterance T≈1500): when set to a
+    # jax.sharding.Mesh whose 'sp' axis has extent > 1, every attention
+    # call runs Ulysses-style over that axis (parallel/sequence.py) —
+    # activations shard time between layers, heads inside attention.
+    # compare=False keeps the (frozen) config hashable/comparable without
+    # dragging device topology into equality.
+    sp_mesh: Optional[object] = dataclasses.field(
+        default=None, compare=False, repr=False)
 
     @property
     def head_dim(self) -> int:
@@ -322,12 +330,19 @@ def _attention(params, config: HubertConfig, x: jnp.ndarray,
     from aat_tpu.ops.attention import attention_bthd
     from aat_tpu.ops.dropout import attention_seed
 
-    ctx = attention_bthd(
-        q, k, v, key_mask, causal=False, sm_scale=hd ** -0.5,
+    kwargs = dict(
+        sm_scale=hd ** -0.5,
         use_pallas=config.attention_impl == "pallas",
         dropout_rate=config.attention_dropout,
         dropout_seed=attention_seed(dropout_rng),
     )
+    sp_mesh = config.sp_mesh
+    if sp_mesh is not None and sp_mesh.shape.get("sp", 1) > 1:
+        from aat_tpu.parallel.sequence import ulysses_attention_bthd
+
+        ctx = ulysses_attention_bthd(q, k, v, key_mask, sp_mesh, **kwargs)
+    else:
+        ctx = attention_bthd(q, k, v, key_mask, causal=False, **kwargs)
     return _dense(ctx.reshape(b, t, h), params["out"])
 
 

@@ -91,6 +91,10 @@ class TrainingConfig:
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    # sequence parallelism (whole-utterance encoding): activations shard
+    # time over the 'sp' mesh axis between layers; attention re-shards to
+    # heads via two all_to_alls (Ulysses — parallel/sequence.py)
+    mesh_sp: int = 1
     grad_clip_norm: Optional[float] = None
 
     def __post_init__(self):

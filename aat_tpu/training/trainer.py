@@ -109,8 +109,16 @@ class AATTrainer:
         self.tokenizer = tokenizer
         self.generation_config = generation_config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
-            config.mesh_dp, config.mesh_fsdp, config.mesh_tp
+            config.mesh_dp, config.mesh_fsdp, config.mesh_tp, config.mesh_sp
         )
+        if (self.mesh.shape.get("sp", 1) > 1
+                and hasattr(getattr(model, "audio_encoder_config", None),
+                            "sp_mesh")
+                and model.audio_encoder_config.sp_mesh is None):
+            # sequence parallelism: hand the mesh to the encoder config so
+            # whole-utterance attention runs Ulysses over the 'sp' axis
+            model.audio_encoder_config = dataclasses.replace(
+                model.audio_encoder_config, sp_mesh=self.mesh)
         self.compute_metrics = compute_metrics
         self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))
 

@@ -62,7 +62,7 @@ def test_batch_sharding_runs_dp():
 # ---------------------------------------------------------------------------
 
 
-def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0):
+def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0, sp=1):
     import dataclasses
 
     from aat_tpu.models import hubert as hub
@@ -82,7 +82,7 @@ def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0):
         learning_rate=1e-3, warmup_steps=2, max_steps=10,
         gradient_accumulation_steps=1, train_audio_encoder=True,
         train_lm_decoder=True, compute_dtype="float32",
-        mesh_dp=dp, mesh_fsdp=fsdp, mesh_tp=tp,
+        mesh_dp=dp, mesh_fsdp=fsdp, mesh_tp=tp, mesh_sp=sp,
         eval_steps=0, save_steps=0, logging_steps=1000,
         output_dir="/tmp/aat_tpu_equiv",
     )
@@ -134,6 +134,58 @@ def test_dp_fsdp_tp_matches_single_device():
     loss_m, params_m = _run_steps(_tiny_trainer(mesh_lib.make_mesh(2, 2, 2), 2, 2, 2), batch)
     assert abs(loss_1 - loss_m) < 1e-5, (loss_1, loss_m)
     assert _max_tree_diff(params_1, params_m) < 1e-4
+
+
+def test_ulysses_attention_matches_plain():
+    """Sequence-parallel attention (time-sharded → two all_to_alls →
+    head-sharded full-T attention → back) must reproduce the plain path,
+    including the T % sp != 0 padding case and ragged key masks."""
+    from aat_tpu.ops.attention import attention_bthd
+    from aat_tpu.parallel.sequence import ulysses_attention_bthd
+
+    assert len(jax.devices()) >= 8
+    mesh = mesh_lib.make_mesh(dp=2, fsdp=1, tp=1, sp=4)
+    rng = np.random.default_rng(3)
+    for t in (32, 37):  # 37: exercises the pad-to-multiple-of-sp path
+        q, k, v = (
+            np.asarray(rng.normal(0, 1, (4, t, 8, 16)), np.float32)
+            for _ in range(3)
+        )
+        key_mask = np.ones((4, t), np.int32)
+        key_mask[0, t - 5:] = 0  # ragged tail
+        key_mask[3, :] = 0       # fully-masked row
+        ref = attention_bthd(q, k, v, key_mask, sm_scale=0.25,
+                             use_pallas=False)
+        out = ulysses_attention_bthd(q, k, v, key_mask, mesh, sm_scale=0.25,
+                                     use_pallas=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def _whole_utterance_batch(rows=8):
+    rng = np.random.default_rng(9)
+    return {
+        "waveforms": rng.normal(0, 0.3, (rows, 400)).astype(np.float32),
+        "waveforms_attention_mask": np.ones((rows, 400), np.int32),
+        "input_ids": rng.integers(1, 100, (rows, 6)),
+        "attention_mask": np.ones((rows, 6), np.int32),
+        "input_ids_attention_mask": np.ones((rows, 6), np.int32),
+    }
+
+
+@pytest.mark.slow
+def test_whole_utterance_sp_matches_single_device():
+    """A dp=2 × sp=4 whole-utterance train step (Ulysses attention in the
+    encoder) must reproduce the 1-device step. The tiny encoder's T=39
+    exercises the sp padding path inside every attention call."""
+    assert len(jax.devices()) >= 8
+    batch = _whole_utterance_batch()
+    loss_1, params_1 = _run_steps(
+        _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1), batch)
+    loss_s, params_s = _run_steps(
+        _tiny_trainer(mesh_lib.make_mesh(2, 1, 1, 4), 2, 1, 1, sp=4), batch)
+    assert abs(loss_1 - loss_s) < 1e-5, (loss_1, loss_s)
+    assert _max_tree_diff(params_1, params_s) < 1e-4
 
 
 @pytest.mark.slow
