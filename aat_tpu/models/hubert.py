@@ -63,6 +63,12 @@ class HubertConfig:
     # dragging device topology into equality.
     sp_mesh: Optional[object] = dataclasses.field(
         default=None, compare=False, repr=False)
+    # Pipeline parallelism: a Mesh whose 'pp' axis has extent > 1 runs the
+    # encoder layer stack GPipe-style (parallel/pipeline.py) — stage-sharded
+    # stacked layers, microbatched activations ring-passed via ppermute.
+    pp_mesh: Optional[object] = dataclasses.field(
+        default=None, compare=False, repr=False)
+    pp_microbatches: int = 0  # 0 → 2 * pp (bubble fraction (pp-1)/(m+pp-1))
 
     @property
     def head_dim(self) -> int:
@@ -378,14 +384,14 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
         dropout_rng, k = jax.random.split(dropout_rng)
         hidden = dropout(k, hidden, config.hidden_dropout)
 
-    def layer_step(hidden, layer, rng):
+    def layer_step(hidden, layer, rng, fm=frame_mask):
         k_attn = k_res1 = k_ff = None
         if rng is not None:
             k_attn, k_res1, k_ff = jax.random.split(rng, 3)
         if config.do_stable_layer_norm:  # pre-LN (large)
             attn_in = _layer_norm(hidden, layer["layer_norm"], eps)
             attn_out = _attention(layer["attention"], config, attn_in,
-                                  frame_mask, k_attn)
+                                  fm, k_attn)
             if rng is not None:
                 attn_out = dropout(k_res1, attn_out, config.hidden_dropout)
             hidden = hidden + attn_out
@@ -394,7 +400,7 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
                                             config, k_ff)
         else:  # post-LN (base)
             attn_out = _attention(layer["attention"], config, hidden,
-                                  frame_mask, k_attn)
+                                  fm, k_attn)
             if rng is not None:
                 attn_out = dropout(k_res1, attn_out, config.hidden_dropout)
             hidden = hidden + attn_out
@@ -408,25 +414,74 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
         policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                   if config.remat_policy == "dots" else None)
         layer_step = jax.checkpoint(layer_step, policy=policy)
-    for idx, layer in enumerate(params["layers"]):
-        rng = (
-            jax.random.fold_in(dropout_rng, idx)
-            if dropout_rng is not None else None
-        )
-        new_hidden = layer_step(hidden, layer, rng)
-        if dropout_rng is not None and config.layerdrop > 0.0:
-            # torch LayerDrop: one draw per layer per step skips the whole
-            # layer for the whole batch (compute-then-select keeps shapes
-            # static; no FLOPs saved, semantics preserved)
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(rng, 1 << 20), 1.0 - config.layerdrop
+
+    pp_mesh = config.pp_mesh
+    if pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1:
+        hidden = _encoder_pipelined(params, config, hidden, frame_mask,
+                                    dropout_rng, layer_step, pp_mesh)
+    else:
+        for idx, layer in enumerate(params["layers"]):
+            rng = (
+                jax.random.fold_in(dropout_rng, idx)
+                if dropout_rng is not None else None
             )
-            new_hidden = jnp.where(keep, new_hidden, hidden)
-        hidden = new_hidden
+            new_hidden = layer_step(hidden, layer, rng)
+            if dropout_rng is not None and config.layerdrop > 0.0:
+                # torch LayerDrop: one draw per layer per step skips the
+                # whole layer for the whole batch (compute-then-select keeps
+                # shapes static; no FLOPs saved, semantics preserved)
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(rng, 1 << 20), 1.0 - config.layerdrop
+                )
+                new_hidden = jnp.where(keep, new_hidden, hidden)
+            hidden = new_hidden
 
     if config.do_stable_layer_norm:
         hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
     return hidden
+
+
+def _encoder_pipelined(params, config: HubertConfig, hidden, frame_mask,
+                       dropout_rng, layer_step, pp_mesh):
+    """GPipe the layer stack over the 'pp' mesh axis (parallel/pipeline.py).
+
+    LayerDrop draws key on the GLOBAL layer index exactly like the plain
+    loop (one draw per layer per step), so drop decisions match a 1-device
+    run bit for bit. Per-layer dropout keys additionally fold the
+    microbatch index (masks are valid but decorrelated from 1-dev — the
+    microbatch slice changes elementwise positions anyway). Incompatible
+    with sp>1 (nested shard_map); the trainer enforces the exclusion."""
+    from aat_tpu.parallel.pipeline import gpipe_apply, stack_layers
+
+    pp = pp_mesh.shape["pp"]
+    sp = pp_mesh.shape.get("sp", 1)
+    assert sp == 1 or config.sp_mesh is None, \
+        "pipeline and sequence parallelism cannot nest in the encoder"
+    microbatches = config.pp_microbatches or 2 * pp
+    stacked = stack_layers(params["layers"])
+    fm = (frame_mask if frame_mask is not None
+          else jnp.ones(hidden.shape[:2], jnp.int32))
+    has_drop = dropout_rng is not None
+    shared = (dropout_rng,) if has_drop else ()
+
+    def layer_fn(h, layer, gidx, mb_idx, fm_mb, *maybe_key):
+        rng = None
+        if has_drop:
+            rng = jax.random.fold_in(
+                jax.random.fold_in(maybe_key[0], gidx), mb_idx + (1 << 16))
+        new_h = layer_step(h, layer, rng, fm=fm_mb)
+        if has_drop and config.layerdrop > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(
+                    jax.random.fold_in(maybe_key[0], gidx), 1 << 20),
+                1.0 - config.layerdrop)
+            new_h = jnp.where(keep, new_h, h)
+        return new_h
+
+    return gpipe_apply(
+        layer_fn, stacked, hidden, (fm,), shared, pp_mesh,
+        num_layers=config.num_hidden_layers, microbatches=microbatches,
+    )
 
 
 def hubert_encode(

@@ -23,18 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: int = 1, fsdp: int = 1, tp: int = 1, sp: int = 1,
-              devices=None) -> Mesh:
-    """Build a (dp, fsdp, tp, sp) mesh; total must match available devices.
+              pp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, fsdp, tp, sp, pp) mesh; total must match available
+    devices.
 
     ``sp`` is the sequence-parallel axis (whole-utterance encoding at
     T≈1500: activations shard over time between layers, heads during
-    attention — parallel/sequence.py)."""
+    attention — parallel/sequence.py). ``pp`` is the pipeline axis (layer
+    stack GPipe'd across stages — parallel/pipeline.py)."""
     if devices is None:
         devices = jax.devices()
-    n = dp * fsdp * tp * sp
+    n = dp * fsdp * tp * sp * pp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = np.array(devices[:n]).reshape(dp, fsdp, tp, sp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp"))
+    arr = np.array(devices[:n]).reshape(dp, fsdp, tp, sp, pp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp", "pp"))
 
 
 def single_device_mesh() -> Mesh:

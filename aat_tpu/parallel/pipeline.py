@@ -1,0 +1,134 @@
+"""Pipeline parallelism: a GPipe-style combinator over stacked layers.
+
+The reference has no pipeline parallelism (SURVEY §2: its scale ceiling is
+whatever HF accelerate gives). This is the TPU-native axis for models whose
+layer stack exceeds one chip (the reference's Qwen-1.5-1.8B option, or
+hubert-large at long T with fat activations):
+
+* layer parameters stack on a leading [L] dim and shard over the mesh's
+  ``pp`` axis — stage s holds layers [s·L/pp, (s+1)·L/pp);
+* the batch splits into M microbatches; at tick t, stage s runs its layer
+  slice on microbatch t−s and hands the activation to stage s+1 via
+  ``lax.ppermute`` (a ring step over ICI);
+* M + pp − 1 ticks drain the pipe — the classic GPipe bubble of
+  (pp−1)/(M+pp−1); all stages execute every tick (SPMD — idle ticks chew
+  garbage), so utilization, not correctness, depends on M ≫ pp;
+* the whole schedule is a ``lax.scan``, so ``jax.grad`` differentiates it
+  (the transpose of ppermute is the reverse ring) — no hand-written
+  backward schedule.
+
+Dropout note: microbatching slices the batch, so position-keyed dropout
+masks are decorrelated from (not bit-identical to) a 1-device run; the
+per-layer LayerDrop draw keys on the layer index only and stays
+step-global, matching torch semantics. Equivalence tests run dropout-off.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aat_tpu.parallel.sequence import shard_map
+
+
+def stack_layers(layers: Sequence):
+    """[{...}, {...}, ...] per-layer param trees → one tree of [L, ...]
+    leaves (jit-free reshape when traced; a copy when eager)."""
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+
+
+def gpipe_apply(
+    layer_fn: Callable,
+    stacked_layers,
+    x: jax.Array,
+    batched_consts: tuple,
+    shared_consts: tuple,
+    mesh: Mesh,
+    *,
+    num_layers: int,
+    microbatches: int,
+    pp_axis: str = "pp",
+    batch_axes=("dp", "fsdp"),
+):
+    """Run ``x`` through ``num_layers`` stacked layers, pipelined over the
+    mesh's ``pp`` axis.
+
+    ``layer_fn(h, layer_params, global_layer_idx, mb_idx, *batched_mb,
+    *shared) -> h`` — a single layer application. ``batched_consts`` are
+    [B, ...] arrays that follow ``x``'s microbatch split (e.g. the frame
+    mask); ``shared_consts`` are replicated (e.g. a dropout key).
+    Requires ``num_layers % pp == 0`` and ``B_local % microbatches == 0``.
+    """
+    pp = mesh.shape.get(pp_axis, 1)
+    if pp == 1:
+        def step(h, xs_):
+            lp, i = xs_
+            return layer_fn(h, lp, i, jnp.int32(0), *batched_consts,
+                            *shared_consts), None
+
+        h, _ = jax.lax.scan(
+            step, x, (stacked_layers, jnp.arange(num_layers)))
+        return h
+
+    assert num_layers % pp == 0, (num_layers, pp)
+    l_per = num_layers // pp
+    # clamp to the largest feasible microbatch count: m must divide the
+    # per-dp-shard batch
+    b_local_total = x.shape[0]
+    for ax in batch_axes:
+        b_local_total //= mesh.shape.get(ax, 1)
+    m = max(1, min(microbatches, b_local_total))
+    while b_local_total % m:
+        m -= 1
+
+    def body(stacked_local, x_local, batched_local, shared):
+        pp_idx = jax.lax.axis_index(pp_axis)
+        b_local = x_local.shape[0]
+        assert b_local % m == 0, (b_local, m)
+        mb = b_local // m
+        xs = x_local.reshape(m, mb, *x_local.shape[1:])
+        bcs = tuple(c.reshape(m, mb, *c.shape[1:]) for c in batched_local)
+
+        def apply_stage(h, mb_idx, bc_mb):
+            def lstep(h, xs_):
+                lp, li = xs_
+                gidx = pp_idx * l_per + li
+                return layer_fn(h, lp, gidx, mb_idx, *bc_mb, *shared), None
+
+            h, _ = jax.lax.scan(lstep, h, (stacked_local, jnp.arange(l_per)))
+            return h
+
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        def tick(act, t):
+            mb_idx = jnp.clip(t - pp_idx, 0, m - 1)  # this stage's mb id
+            inp = xs[jnp.clip(t, 0, m - 1)]
+            act = jnp.where(pp_idx == 0, inp, act)
+            bc_mb = tuple(c[mb_idx] for c in bcs)
+            out = apply_stage(act, mb_idx, bc_mb)
+            nxt = jax.lax.ppermute(out, pp_axis, perm)
+            return nxt, out
+
+        _, outs = jax.lax.scan(
+            tick, jnp.zeros_like(xs[0]), jnp.arange(m + pp - 1))
+        # the LAST stage emitted microbatch j at tick (pp-1) + j
+        y = jax.lax.dynamic_slice_in_dim(outs, pp - 1, m, axis=0)
+        y = y.reshape(b_local, *y.shape[2:])
+        # replicate the result across the pp axis (other stages hold bubble
+        # garbage): zero-and-psum
+        y = jnp.where(pp_idx == pp - 1, y, jnp.zeros_like(y))
+        return jax.lax.psum(y, pp_axis)
+
+    bspec = P(batch_axes)
+    layer_specs = jax.tree.map(lambda _: P(pp_axis), stacked_layers)
+    batched_specs = tuple(P(batch_axes) for _ in batched_consts)
+    shared_specs = tuple(P() for _ in shared_consts)
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(layer_specs, bspec, batched_specs, shared_specs),
+        out_specs=bspec,
+        check_rep=False,
+    )(stacked_layers, x, tuple(batched_consts), tuple(shared_consts))

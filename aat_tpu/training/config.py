@@ -95,6 +95,10 @@ class TrainingConfig:
     # time over the 'sp' mesh axis between layers; attention re-shards to
     # heads via two all_to_alls (Ulysses — parallel/sequence.py)
     mesh_sp: int = 1
+    # pipeline parallelism: encoder layer stack GPipe'd over the 'pp' axis
+    # (parallel/pipeline.py); mutually exclusive with mesh_sp > 1
+    mesh_pp: int = 1
+    pp_microbatches: int = 0  # 0 → 2 * mesh_pp
     grad_clip_norm: Optional[float] = None
 
     def __post_init__(self):

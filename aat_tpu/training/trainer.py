@@ -109,16 +109,24 @@ class AATTrainer:
         self.tokenizer = tokenizer
         self.generation_config = generation_config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
-            config.mesh_dp, config.mesh_fsdp, config.mesh_tp, config.mesh_sp
+            config.mesh_dp, config.mesh_fsdp, config.mesh_tp, config.mesh_sp,
+            config.mesh_pp,
         )
-        if (self.mesh.shape.get("sp", 1) > 1
-                and hasattr(getattr(model, "audio_encoder_config", None),
-                            "sp_mesh")
-                and model.audio_encoder_config.sp_mesh is None):
+        sp_n = self.mesh.shape.get("sp", 1)
+        pp_n = self.mesh.shape.get("pp", 1)
+        assert sp_n == 1 or pp_n == 1, \
+            "mesh_sp and mesh_pp are mutually exclusive (nested shard_map)"
+        aud_cfg = getattr(model, "audio_encoder_config", None)
+        if sp_n > 1 and hasattr(aud_cfg, "sp_mesh") and aud_cfg.sp_mesh is None:
             # sequence parallelism: hand the mesh to the encoder config so
             # whole-utterance attention runs Ulysses over the 'sp' axis
             model.audio_encoder_config = dataclasses.replace(
-                model.audio_encoder_config, sp_mesh=self.mesh)
+                aud_cfg, sp_mesh=self.mesh)
+        if pp_n > 1 and hasattr(aud_cfg, "pp_mesh") and aud_cfg.pp_mesh is None:
+            # pipeline parallelism: GPipe the encoder layer stack
+            model.audio_encoder_config = dataclasses.replace(
+                aud_cfg, pp_mesh=self.mesh,
+                pp_microbatches=config.pp_microbatches)
         self.compute_metrics = compute_metrics
         self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))
 

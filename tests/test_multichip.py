@@ -62,7 +62,7 @@ def test_batch_sharding_runs_dp():
 # ---------------------------------------------------------------------------
 
 
-def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0, sp=1):
+def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0, sp=1, pp=1):
     import dataclasses
 
     from aat_tpu.models import hubert as hub
@@ -82,7 +82,7 @@ def _tiny_trainer(mesh, dp, fsdp, tp, seed=0, dropout=0.0, sp=1):
         learning_rate=1e-3, warmup_steps=2, max_steps=10,
         gradient_accumulation_steps=1, train_audio_encoder=True,
         train_lm_decoder=True, compute_dtype="float32",
-        mesh_dp=dp, mesh_fsdp=fsdp, mesh_tp=tp, mesh_sp=sp,
+        mesh_dp=dp, mesh_fsdp=fsdp, mesh_tp=tp, mesh_sp=sp, mesh_pp=pp,
         eval_steps=0, save_steps=0, logging_steps=1000,
         output_dir="/tmp/aat_tpu_equiv",
     )
@@ -186,6 +186,49 @@ def test_whole_utterance_sp_matches_single_device():
         _tiny_trainer(mesh_lib.make_mesh(2, 1, 1, 4), 2, 1, 1, sp=4), batch)
     assert abs(loss_1 - loss_s) < 1e-5, (loss_1, loss_s)
     assert _max_tree_diff(params_1, params_s) < 1e-4
+
+
+@pytest.mark.slow
+def test_pipeline_pp_matches_single_device():
+    """A dp=4 × pp=2 step (encoder layer stack GPipe'd over 2 stages,
+    microbatched activations ring-passed via ppermute) must reproduce the
+    1-device step on both batch layouts. The tiny encoder has 2 layers →
+    1 layer per stage."""
+    assert len(jax.devices()) >= 8
+    for batch in (_equiv_batch(), _whole_utterance_batch()):
+        loss_1, params_1 = _run_steps(
+            _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1), batch)
+        loss_p, params_p = _run_steps(
+            _tiny_trainer(mesh_lib.make_mesh(4, 1, 1, 1, 2), 4, 1, 1, pp=2),
+            batch)
+        assert abs(loss_1 - loss_p) < 1e-5, (loss_1, loss_p)
+        assert _max_tree_diff(params_1, params_p) < 1e-4
+
+
+@pytest.mark.slow
+def test_pipeline_layerdrop_matches_single_device():
+    """LayerDrop draws key on the GLOBAL layer index in the pipelined
+    encoder, so layer-skip decisions (one per layer per step, whole batch —
+    torch semantics) match the 1-device run exactly even though per-element
+    dropout is off here."""
+    assert len(jax.devices()) >= 8
+    import dataclasses
+
+    def with_layerdrop(trainer):
+        m = trainer.model
+        m.audio_encoder_config = dataclasses.replace(
+            m.audio_encoder_config, layerdrop=0.5)
+        return trainer
+
+    batch = _equiv_batch()
+    loss_1, params_1 = _run_steps(
+        with_layerdrop(_tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1)),
+        batch)
+    loss_p, params_p = _run_steps(
+        with_layerdrop(_tiny_trainer(
+            mesh_lib.make_mesh(4, 1, 1, 1, 2), 4, 1, 1, pp=2)), batch)
+    assert abs(loss_1 - loss_p) < 1e-5, (loss_1, loss_p)
+    assert _max_tree_diff(params_1, params_p) < 1e-4
 
 
 @pytest.mark.slow
