@@ -39,6 +39,14 @@ class LlamaConfig:
     attention_impl: str = "xla"  # 'xla' | 'pallas' (fused flash kernel)
     remat: bool = False  # rematerialize decoder layers (training only)
     remat_policy: str = "full"  # 'full' | 'dots' (see HubertConfig)
+    # Pipeline parallelism (training/no-cache forward only): a Mesh whose
+    # 'pp' axis has extent > 1 GPipes the decoder layer stack
+    # (parallel/pipeline.py) — the path for LMs that outgrow one chip
+    # (the reference's Qwen-1.5-1.8B option). KV-cache decode keeps the
+    # plain loop (a ring pipeline per emitted token is not worth it).
+    pp_mesh: Optional[object] = dataclasses.field(
+        default=None, compare=False, repr=False)
+    pp_microbatches: int = 0  # 0 → 2 * pp
 
     @property
     def head_dim(self) -> int:
@@ -304,11 +312,41 @@ def llama_forward(
                   if config.remat_policy == "dots" else None)
         layer_step = jax.checkpoint(layer_step, static_argnums=(),
                                     policy=policy)
-    for i, layer in enumerate(params["layers"]):
-        cache = kv_caches[i] if kv_caches is not None else None
-        hidden, new_cache = layer_step(hidden, layer, cache)
-        if new_caches is not None:
-            new_caches.append(new_cache)
+    pp_mesh = config.pp_mesh
+    if (pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1
+            and kv_caches is None):
+        from aat_tpu.parallel.pipeline import gpipe_apply, stack_layers
+
+        def layer_fn(h, layer, gidx, mb_idx, cos_mb, sin_mb, bias_mb, am_mb):
+            attn_in = _rms_norm(h, layer["input_norm"], config.rms_norm_eps)
+            attn_out, _ = _attention(
+                layer["attention"], config, attn_in, cos_mb, sin_mb,
+                bias_mb, None, cache_index, key_padding_mask=am_mb,
+            )
+            h = h + attn_out
+            mlp_in = _rms_norm(h, layer["post_attention_norm"],
+                               config.rms_norm_eps)
+            return h + _mlp(layer["mlp"], mlp_in)
+
+        if config.remat:
+            layer_fn = jax.checkpoint(
+                layer_fn,
+                policy=(jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                        if config.remat_policy == "dots" else None))
+        bias_b = jnp.broadcast_to(
+            mask_bias, (b,) + mask_bias.shape[1:])  # per-row for mb split
+        hidden = gpipe_apply(
+            layer_fn, stack_layers(params["layers"]), hidden,
+            (cos, sin, bias_b, attention_mask), (), pp_mesh,
+            num_layers=config.num_hidden_layers,
+            microbatches=config.pp_microbatches or 2 * pp_mesh.shape["pp"],
+        )
+    else:
+        for i, layer in enumerate(params["layers"]):
+            cache = kv_caches[i] if kv_caches is not None else None
+            hidden, new_cache = layer_step(hidden, layer, cache)
+            if new_caches is not None:
+                new_caches.append(new_cache)
 
     hidden = _rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     if config.tie_word_embeddings:

@@ -127,6 +127,14 @@ class AATTrainer:
             model.audio_encoder_config = dataclasses.replace(
                 aud_cfg, pp_mesh=self.mesh,
                 pp_microbatches=config.pp_microbatches)
+        lm_cfg_ = getattr(model, "lm_config", None)
+        if (pp_n > 1 and hasattr(lm_cfg_, "pp_mesh")
+                and lm_cfg_.pp_mesh is None):
+            # ...and the decoder stack (training forward; decode keeps the
+            # plain loop — models/llama.py)
+            model.lm_config = dataclasses.replace(
+                lm_cfg_, pp_mesh=self.mesh,
+                pp_microbatches=config.pp_microbatches)
         self.compute_metrics = compute_metrics
         self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))
 
