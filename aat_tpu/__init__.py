@@ -18,7 +18,7 @@ Import layout:
     aat_tpu.models         hubert / llama / aslm / efficientnet
     aat_tpu.data           collators, dataloaders, datasets
     aat_tpu.training       config, optimizers, schedules, trainer, metrics, generation
-    aat_tpu.parallel       mesh + sharding rules
+    aat_tpu.parallel       mesh + sharding rules, sequence/pipeline parallelism
     aat_tpu.utils          timing, logging, torch-checkpoint porting
 """
 

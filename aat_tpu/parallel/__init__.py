@@ -1,1 +1,2 @@
-"""Device mesh + sharding rules (dp/fsdp/tp) for pjit training."""
+"""Device mesh + sharding rules (dp/fsdp/tp/sp/pp), Ulysses sequence-
+parallel attention (sequence.py), GPipe pipeline combinator (pipeline.py)."""

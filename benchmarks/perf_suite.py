@@ -390,6 +390,83 @@ def bench_train_whole_utterance(quick):
         }), flush=True)
 
 
+def bench_train_qwen(quick):
+    """LM-finetuning step at the reference's SECOND LM option — Qwen-1.5-
+    1.8B (config.py:42) with the finetuning_lm recipe (train_lm_decoder=
+    True, Adafactor, reference optimizers.py:6-208). 1.84B trained params
+    cannot carry f32 masters + AdamW moments on one 16 GB v5e; Adafactor's
+    factored second moments (~n+m floats per matrix) plus bf16 masters fit
+    (~6 GB state) — reported as what it is: a bf16-master Adafactor
+    configuration, not the f32-master AdamW path the smaller LMs use."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.config import TrainingConfig
+    from aat_tpu.training.trainer import AATTrainerSegmentation
+
+    audio_cfg = dataclasses.replace(
+        hub.hubert_large_config(),
+        hidden_dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, layerdrop=0.0,
+    )
+    lm_cfg = dataclasses.replace(llm.qwen15_18b_config(), remat=True,
+                                 remat_policy="dots")
+    config = AslmConfig(
+        projection_type="linear",
+        audio_encoder_hidden=audio_cfg.hidden_size,
+        lm_hidden=lm_cfg.hidden_size,
+    )
+    model = AslmModel(config, audio_cfg, lm_cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # bf16 masters for the 1.84B decoder (memory: f32 masters alone would
+    # be 7.4 GB + 7.4 GB f32 grads); encoder is frozen so its dtype is
+    # irrelevant to optimizer state
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    tcfg = TrainingConfig(
+        learning_rate=1e-5, warmup_steps=10, max_steps=1000,
+        gradient_accumulation_steps=1,
+        train_audio_encoder=False, train_lm_decoder=True,
+        optimizer="adafactor", compute_dtype="bfloat16",
+        logging_steps=10**9, eval_steps=0, save_steps=0,
+        output_dir="/tmp/aat_bench_qwen",
+    )
+    trainer = AATTrainerSegmentation(model, params, tcfg)
+    bs, n_seg, frames, text_len = (2, 4, 4000, 32) if quick else (4, 8, 4000, 64)
+    rng = np.random.default_rng(0)
+    batch = trainer._shard_batch({
+        "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
+        "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.float32),
+        "segments_boarders_attention_mask": np.ones((bs, n_seg), np.int32),
+        "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
+        "attention_mask": np.ones((bs, text_len), np.int32),
+        "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+    })
+    audio_seconds = bs * n_seg * frames / 16000
+    trainer.training_step([batch])
+    trainer.training_step([batch])
+    m = trainer.training_step([batch], fetch_metrics=True)
+    assert np.isfinite(m["train/loss"]), m
+    t0 = time.perf_counter()
+    iters = 3
+    for i in range(iters):
+        m = trainer.training_step([batch], fetch_metrics=(i == iters - 1))
+    dt = (time.perf_counter() - t0) / iters
+    report("qwen18b_finetune_step_bf16_adafactor", dt, audio_seconds,
+           "audio_s/s")
+    n_lm = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(
+        {"lm": trainer.state.params["lm_decoder"]}))
+    print(json.dumps({"metric": "qwen18b_trained_params_b",
+                      "value": round(n_lm / 1e9, 2), "unit": "B params",
+                      "loss": round(float(m["train/loss"]), 3)}), flush=True)
+
+
 def bench_generation(quick):
     """Eval-path generation at SmolLM-135M shapes: greedy and the
     reference's beam settings (beam 3, repetition 2.5, no-repeat-4-gram,
@@ -586,6 +663,7 @@ def main():
         "vq": bench_vq,
         "train_step": bench_train_step,
         "train_whole_utterance": bench_train_whole_utterance,
+        "train_qwen": bench_train_qwen,
         "generation": bench_generation,
         "eval": bench_eval,
     }
