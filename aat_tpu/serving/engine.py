@@ -47,6 +47,9 @@ class EngineConfig:
     pad_token_id: int = 0
     repetition_penalty: float = 1.0
     cache_dtype: str = "bfloat16"
+    # batched admission: submit_many prefills up to this many requests in
+    # ONE dispatch (a static batch — bursts pad up to it); 0 → max_slots
+    max_prefill_batch: int = 0
 
     @property
     def cache_len(self) -> int:
@@ -89,6 +92,8 @@ class DecodeEngine:
             seen=jnp.zeros((s, v), bool),
         )
         self._submit_fn = jax.jit(self._make_submit(), donate_argnums=(1,))
+        self._submit_many_fn = jax.jit(self._make_submit_many(),
+                                       donate_argnums=(1,))
         self._step_fn = jax.jit(self._make_step(), donate_argnums=(1,))
         self._chunk_fns: Dict[int, callable] = {}
 
@@ -133,6 +138,57 @@ class DecodeEngine:
             )
 
         return submit
+
+    def _make_submit_many(self):
+        cfg, lm_cfg = self.config, self.lm_config
+        p0 = cfg.max_prefill_len
+
+        def submit_many(params, state: EngineState, slots, embeds, mask,
+                        valid) -> EngineState:
+            """Prefill up to K requests in ONE dispatch and adopt them into
+            ``slots`` ([K] int32, DISTINCT — padded rows park on unused free
+            slots so duplicate-scatter order never matters). ``valid`` [K]
+            bool gates padded rows to no-op writes."""
+            k = embeds.shape[0]
+            row_caches = llm.init_kv_caches(
+                lm_cfg, k, cfg.cache_len, state.caches[0][0].dtype)
+            row_mask = jnp.zeros((k, cfg.cache_len), jnp.int32)
+            row_mask = row_mask.at[:, :p0].set(mask.astype(jnp.int32))
+            positions = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0)
+            logits, row_caches = llm.llama_forward(
+                params, lm_cfg, inputs_embeds=embeds,
+                attention_mask=row_mask, positions=positions,
+                kv_caches=row_caches, cache_index=0)
+            lengths = jnp.sum(mask, axis=-1).astype(jnp.int32)
+            last = jnp.take_along_axis(
+                logits, jnp.maximum(lengths - 1, 0)[:, None, None],
+                axis=1)[:, 0, :]
+
+            def put(pool, rows):
+                cur = pool[slots]
+                keep = valid.reshape((-1,) + (1,) * (cur.ndim - 1))
+                return pool.at[slots].set(jnp.where(keep, rows, cur))
+
+            caches = [
+                (put(ck, rk), put(cv, rv))
+                for (ck, cv), (rk, rv) in zip(state.caches, row_caches)
+            ]
+            zero_gen = jnp.full((k, cfg.max_new_tokens), cfg.pad_token_id,
+                                jnp.int32)
+            v = state.seen.shape[1]
+            return EngineState(
+                caches=caches,
+                cache_mask=put(state.cache_mask, row_mask),
+                lengths=put(state.lengths, lengths),
+                n_gen=put(state.n_gen, jnp.zeros((k,), jnp.int32)),
+                active=put(state.active, jnp.ones((k,), bool)),
+                pending_logits=put(state.pending_logits,
+                                   last.astype(jnp.float32)),
+                generated=put(state.generated, zero_gen),
+                seen=put(state.seen, jnp.zeros((k, v), bool)),
+            )
+
+        return submit_many
 
     def _make_step(self):
         cfg, lm_cfg = self.config, self.lm_config
@@ -210,6 +266,48 @@ class DecodeEngine:
         slot = self._slot_free.pop(0)
         self.state = self._submit_fn(self.params, self.state, slot, embeds, mask)
         return slot
+
+    def submit_many(self, requests: List[tuple]) -> List[int]:
+        """Admit a burst of requests in ONE dispatch: ``requests`` is a list
+        of (inputs_embeds [P, H], attention_mask [P]) pairs,
+        len <= free_slots. The prefill batch is STATIC
+        (config.max_prefill_batch, default max_slots) — bursts pad up to it
+        and parked rows no-op, so any burst size reuses one compiled
+        program. Returns the assigned slot ids in request order."""
+        kmax = self.config.max_prefill_batch or self.config.max_slots
+        assert requests and len(requests) <= min(kmax, len(self._slot_free)), (
+            len(requests), kmax, len(self._slot_free))
+        if kmax > len(self._slot_free):
+            # parked rows need DISTINCT free slots; a nearly-full pool can't
+            # host the static batch — admit sequentially instead
+            return [self.submit(e, m) for e, m in requests]
+        p0, h = self.config.max_prefill_len, None
+        embeds, masks = [], []
+        for e, m in requests:
+            e = np.asarray(e)
+            e = e[0] if e.ndim == 3 else e
+            m = np.asarray(m).reshape(-1)
+            assert e.shape[0] <= p0, (e.shape, p0)
+            h = e.shape[1]
+            embeds.append(np.pad(e, ((0, p0 - e.shape[0]), (0, 0))))
+            masks.append(np.pad(m, (0, p0 - m.shape[0])))
+        n_real = len(requests)
+        slots = [self._slot_free.pop(0) for _ in range(n_real)]
+        # parked rows ride DISTINCT free slots (their writes are gated
+        # no-ops; distinctness keeps the scatter order-independent)
+        park = self._slot_free[: kmax - n_real]
+        assert len(park) == kmax - n_real, "pool too small for prefill batch"
+        all_slots = np.asarray(slots + park, np.int32)
+        valid = np.zeros((kmax,), bool)
+        valid[:n_real] = True
+        eb = np.zeros((kmax, p0, h), embeds[0].dtype)
+        mb = np.zeros((kmax, p0), np.int32)
+        eb[:n_real] = np.stack(embeds)
+        mb[:n_real] = np.stack(masks)
+        self.state = self._submit_many_fn(
+            self.params, self.state, jnp.asarray(all_slots),
+            jnp.asarray(eb), jnp.asarray(mb), jnp.asarray(valid))
+        return slots
 
     def step(self) -> List[int]:
         """Advance every active slot by one token; returns slots that just

@@ -67,6 +67,23 @@ def main():
     print(json.dumps({"prefill_ms_per_request": round(prefill_ms, 2)}),
           flush=True)
 
+    # batched admission: drain the pool, then admit the same burst in ONE
+    # dispatch (submit_many) — amortizes the per-request dispatch+RTT
+    eng.drain()
+    burst = reqs[: args.slots]
+    eng.submit_many(burst)  # compile
+    float(eng.state.lengths[0])
+    eng.drain()
+    t0 = time.perf_counter()
+    eng.submit_many(burst)
+    float(eng.state.lengths[0])
+    batch_ms = (time.perf_counter() - t0) * 1e3
+    print(json.dumps({
+        "prefill_batched_ms_per_request": round(batch_ms / args.slots, 2),
+        "burst": args.slots,
+        "burst_total_ms": round(batch_ms, 2),
+    }), flush=True)
+
     # steady-state decode at full occupancy: drive steps back to back; the
     # per-step host fetch is part of the serving design (streaming tokens),
     # so wall-clock includes it — report both wall and RTT-corrected

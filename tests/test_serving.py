@@ -176,3 +176,41 @@ def test_serve_cli_smoke(tmp_path):
         ids = rec.get("ids")
         if ids is not None:
             assert len(ids) == 6
+
+
+def test_submit_many_matches_sequential():
+    """Batched admission (one prefill dispatch for a burst) must produce
+    exactly the outputs of sequential submits — including a PARTIAL burst
+    (parked rows no-op on distinct free slots) and a mid-decode burst
+    joining resident slots."""
+    cfg, params = tiny_lm()
+    p0, max_new = 12, 16
+    lengths = [5, 12, 8, 3, 9]
+    embeds, mask = make_prefixes(cfg, lengths, p0, seed=5)
+    want = reference_greedy(cfg, params, embeds, mask, max_new)
+
+    def engine():
+        return DecodeEngine(params, cfg, EngineConfig(
+            max_slots=6, max_prefill_len=p0, max_new_tokens=max_new,
+            eos_token_id=2, cache_dtype="float32"))
+
+    # full-burst admission
+    eng = engine()
+    slots = eng.submit_many([(embeds[i], mask[i]) for i in range(3)])
+    assert slots == [0, 1, 2]
+    got = eng.drain()
+    for i, slot in enumerate(slots):
+        np.testing.assert_array_equal(got[slot], want[i], err_msg=f"req {i}")
+
+    # partial burst joining mid-decode: two residents + a 3-request burst
+    eng = engine()
+    s0 = eng.submit(embeds[0], mask[0])
+    s1 = eng.submit(embeds[1], mask[1])
+    for _ in range(4):
+        eng.step()
+    burst = eng.submit_many([(embeds[i], mask[i]) for i in (2, 3, 4)])
+    results = dict(eng.drain())
+    for i, slot in zip((0, 1), (s0, s1)):
+        np.testing.assert_array_equal(results[slot], want[i], err_msg=f"res {i}")
+    for i, slot in zip((2, 3, 4), burst):
+        np.testing.assert_array_equal(results[slot], want[i], err_msg=f"burst {i}")
