@@ -454,8 +454,8 @@ def _encoder_pipelined(params, config: HubertConfig, hidden, frame_mask,
     from aat_tpu.parallel.pipeline import gpipe_apply, stack_layers
 
     pp = pp_mesh.shape["pp"]
-    sp = pp_mesh.shape.get("sp", 1)
-    assert sp == 1 or config.sp_mesh is None, \
+    sp_mesh = config.sp_mesh
+    assert sp_mesh is None or sp_mesh.shape.get("sp", 1) == 1, \
         "pipeline and sequence parallelism cannot nest in the encoder"
     microbatches = config.pp_microbatches or 2 * pp
     stacked = stack_layers(params["layers"])

@@ -21,6 +21,14 @@ Dropout note: microbatching slices the batch, so position-keyed dropout
 masks are decorrelated from (not bit-identical to) a 1-device run; the
 per-layer LayerDrop draw keys on the layer index only and stays
 step-global, matching torch semantics. Equivalence tests run dropout-off.
+
+Scope note (tp × pp): inside the shard_map the stacked layer params are
+sharded over ``pp`` only — each tp/fsdp member holds full-width layers and
+computes them redundantly (results stay correct; the dp×tp×pp composition
+is equivalence-tested). Making tp contribute compute/memory scaling inside
+the pipeline requires manual tensor-parallel matmuls + psum in the body
+(outside the pipeline, GSPMD provides them from the param shardings) —
+recorded in docs/ROADMAP.md alongside the stage-resident-masters item.
 """
 
 from __future__ import annotations

@@ -23,9 +23,11 @@ Requires ``num_heads % (tp * sp) == 0`` and ``T % sp == 0`` (padded
 upstream by the caller).
 
 Dropout note: the in-kernel position-hash attention dropout keys on the
-KERNEL-LOCAL head index, which under sp>1 differs from the single-device
-head numbering — masks are decorrelated but not bit-identical to a 1-chip
-run. Equivalence tests therefore run sp with attention dropout off (other
+KERNEL-LOCAL head index; a per-shard seed salt (axis_index × odd constant)
+keeps every head group's masks DISTINCT across sp shards (without it all
+shards would regenerate identical masks for their local head groups).
+Masks are therefore valid and shard-unique but not bit-identical to a
+1-chip run; equivalence tests run sp with attention dropout off (other
 dropout sites key on absolute positions and match exactly).
 """
 
@@ -37,12 +39,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8: check_vma replaces check_rep
+try:
     from jax import shard_map as _shard_map
+    import inspect as _inspect
 
-    def shard_map(f, **kw):
-        kw["check_vma"] = kw.pop("check_rep")
-        return _shard_map(f, **kw)
+    if "check_vma" in _inspect.signature(_shard_map).parameters:
+        # jax >= 0.8: check_vma replaces check_rep
+        def shard_map(f, **kw):
+            kw["check_vma"] = kw.pop("check_rep")
+            return _shard_map(f, **kw)
+    else:  # pragma: no cover — jax exposing shard_map with check_rep
+        shard_map = _shard_map
 except ImportError:  # pragma: no cover — older jax
     from jax.experimental.shard_map import shard_map
 
@@ -96,9 +103,19 @@ def ulysses_attention_bthd(
 
         qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
         m_full = jax.lax.all_gather(m, sp_axis, axis=1, tiled=True)
+        seed = dropout_seed
+        if seed is not None and dropout_rate > 0.0:
+            # the dropout hash keys on the KERNEL-LOCAL head index; without
+            # a per-shard seed offset every sp shard would regenerate the
+            # SAME masks for its local head group (duplicated, not
+            # independent, regularization). Salting by the shard index makes
+            # each head group's masks distinct (though not bit-identical to
+            # a 1-device run — see the module docstring).
+            seed = (jnp.asarray(seed, jnp.int32)
+                    + jax.lax.axis_index(sp_axis) * jnp.int32(0x27D4EB2F))
         ctx = attention_bthd(
             qh, kh, vh, m_full, sm_scale=sm_scale, use_pallas=use_pallas,
-            dropout_rate=dropout_rate, dropout_seed=dropout_seed)
+            dropout_rate=dropout_rate, dropout_seed=seed)
         # [B', T, H'/sp, D] → [B', T/sp, H', D]
         return jax.lax.all_to_all(
             ctx, sp_axis, split_axis=1, concat_axis=2, tiled=True)

@@ -146,9 +146,10 @@ class DecodeEngine:
         def submit_many(params, state: EngineState, slots, embeds, mask,
                         valid) -> EngineState:
             """Prefill up to K requests in ONE dispatch and adopt them into
-            ``slots`` ([K] int32, DISTINCT — padded rows park on unused free
-            slots so duplicate-scatter order never matters). ``valid`` [K]
-            bool gates padded rows to no-op writes."""
+            ``slots`` ([K] int32, DISTINCT — padded rows park on arbitrary
+            other slots so duplicate-scatter order never matters). ``valid``
+            [K] bool gates padded rows to value-identical no-op writes, so
+            parked rows may host live residents."""
             k = embeds.shape[0]
             row_caches = llm.init_kv_caches(
                 lm_cfg, k, cfg.cache_len, state.caches[0][0].dtype)
@@ -277,10 +278,6 @@ class DecodeEngine:
         kmax = self.config.max_prefill_batch or self.config.max_slots
         assert requests and len(requests) <= min(kmax, len(self._slot_free)), (
             len(requests), kmax, len(self._slot_free))
-        if kmax > len(self._slot_free):
-            # parked rows need DISTINCT free slots; a nearly-full pool can't
-            # host the static batch — admit sequentially instead
-            return [self.submit(e, m) for e, m in requests]
         p0, h = self.config.max_prefill_len, None
         embeds, masks = [], []
         for e, m in requests:
@@ -293,10 +290,15 @@ class DecodeEngine:
             masks.append(np.pad(m, (0, p0 - m.shape[0])))
         n_real = len(requests)
         slots = [self._slot_free.pop(0) for _ in range(n_real)]
-        # parked rows ride DISTINCT free slots (their writes are gated
-        # no-ops; distinctness keeps the scatter order-independent)
-        park = self._slot_free[: kmax - n_real]
-        assert len(park) == kmax - n_real, "pool too small for prefill batch"
+        # parked rows ride ANY distinct slots not in the burst — their
+        # writes are valid-gated no-ops (pool.at[slots].set(where(keep,
+        # rows, cur)) writes the current value back), so occupied residents
+        # are safe hosts; distinctness keeps the scatter order-independent
+        park = [s for s in range(self.config.max_slots) if s not in slots]
+        park = park[: kmax - n_real]
+        assert len(park) == kmax - n_real, (
+            f"max_prefill_batch={kmax} exceeds max_slots="
+            f"{self.config.max_slots}")
         all_slots = np.asarray(slots + park, np.int32)
         valid = np.zeros((kmax,), bool)
         valid[:n_real] = True

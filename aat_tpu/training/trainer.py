@@ -116,24 +116,24 @@ class AATTrainer:
         pp_n = self.mesh.shape.get("pp", 1)
         assert sp_n == 1 or pp_n == 1, \
             "mesh_sp and mesh_pp are mutually exclusive (nested shard_map)"
+        # This trainer OWNS the model configs' sp/pp routing: set the mesh
+        # when the axis is active and CLEAR any stale mesh a previous
+        # trainer left behind (a model reused across trainers must not keep
+        # routing through a dead mesh).
         aud_cfg = getattr(model, "audio_encoder_config", None)
-        if sp_n > 1 and hasattr(aud_cfg, "sp_mesh") and aud_cfg.sp_mesh is None:
-            # sequence parallelism: hand the mesh to the encoder config so
-            # whole-utterance attention runs Ulysses over the 'sp' axis
+        if hasattr(aud_cfg, "sp_mesh"):
+            model.audio_encoder_config = aud_cfg = dataclasses.replace(
+                aud_cfg, sp_mesh=self.mesh if sp_n > 1 else None)
+        if hasattr(aud_cfg, "pp_mesh"):
             model.audio_encoder_config = dataclasses.replace(
-                aud_cfg, sp_mesh=self.mesh)
-        if pp_n > 1 and hasattr(aud_cfg, "pp_mesh") and aud_cfg.pp_mesh is None:
-            # pipeline parallelism: GPipe the encoder layer stack
-            model.audio_encoder_config = dataclasses.replace(
-                aud_cfg, pp_mesh=self.mesh,
+                aud_cfg, pp_mesh=self.mesh if pp_n > 1 else None,
                 pp_microbatches=config.pp_microbatches)
         lm_cfg_ = getattr(model, "lm_config", None)
-        if (pp_n > 1 and hasattr(lm_cfg_, "pp_mesh")
-                and lm_cfg_.pp_mesh is None):
-            # ...and the decoder stack (training forward; decode keeps the
-            # plain loop — models/llama.py)
+        if hasattr(lm_cfg_, "pp_mesh"):
+            # decoder stack too (training forward; decode keeps the plain
+            # loop — models/llama.py)
             model.lm_config = dataclasses.replace(
-                lm_cfg_, pp_mesh=self.mesh,
+                lm_cfg_, pp_mesh=self.mesh if pp_n > 1 else None,
                 pp_microbatches=config.pp_microbatches)
         self.compute_metrics = compute_metrics
         self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))

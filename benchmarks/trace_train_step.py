@@ -27,7 +27,9 @@ enable_compilation_cache()
 
 CATEGORIES = [
     ("attention(pallas)", re.compile(r"custom-call|tpu_custom_call")),
-    ("conv", re.compile(r"conv")),
+    # 'convolution', not 'conv': bare 'conv' swallows convert/bitcast-convert
+    # dtype casts — the exact overhead class this tool exists to expose
+    ("conv", re.compile(r"convolution")),
     ("matmul/dot", re.compile(r"dot|gemm|einsum")),
     ("copy/transpose", re.compile(r"copy|transpose|bitcast")),
     ("reduce", re.compile(r"reduce")),

@@ -205,6 +205,33 @@ def test_pipeline_pp_matches_single_device():
         assert _max_tree_diff(params_1, params_p) < 1e-4
 
 
+def test_model_reuse_across_trainers_clears_stale_meshes():
+    """A trainer OWNS the model configs' sp/pp routing: building a
+    single-device trainer from a model previously used by a pp (or sp)
+    trainer must clear the stale mesh — not keep routing the encoder/decoder
+    through a dead 8-device shard_map."""
+    from aat_tpu.training.trainer import AATTrainer
+
+    assert len(jax.devices()) >= 8
+    t_pp = _tiny_trainer(mesh_lib.make_mesh(4, 1, 1, 1, 2), 4, 1, 1, pp=2)
+    model = t_pp.model
+    assert model.audio_encoder_config.pp_mesh is not None
+    assert model.lm_config.pp_mesh is not None
+
+    t_1 = AATTrainer(model, model.init_params(jax.random.PRNGKey(1)),
+                     t_pp.config.__class__(
+                         learning_rate=1e-3, warmup_steps=2, max_steps=10,
+                         gradient_accumulation_steps=1,
+                         train_audio_encoder=True, train_lm_decoder=True,
+                         compute_dtype="float32", eval_steps=0, save_steps=0,
+                         logging_steps=1000, output_dir="/tmp/aat_tpu_reuse"),
+                     mesh=mesh_lib.make_mesh(1, 1, 1))
+    assert model.audio_encoder_config.pp_mesh is None
+    assert model.lm_config.pp_mesh is None
+    m = t_1.training_step([_equiv_batch(rows=2)])
+    assert np.isfinite(m["train/loss"])
+
+
 @pytest.mark.slow
 def test_pipeline_layerdrop_matches_single_device():
     """LayerDrop draws key on the GLOBAL layer index in the pipelined
