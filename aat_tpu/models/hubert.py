@@ -266,9 +266,8 @@ def _conv1d_im2col(x, kernel, bias=None, stride=1):
     return out
 
 
-def feature_extractor(params, config: HubertConfig, waveform: jnp.ndarray) -> jnp.ndarray:
-    """[B, L] → [B, T, conv_dim[-1]] (49.95 Hz frame rate at 16 kHz)."""
-    x = waveform[..., None]  # [B, L, 1]
+def _conv_stack(params, config: HubertConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """The raw conv stack over [B, L, 1] → [B, T, conv_dim[-1]]."""
     for i, layer in enumerate(params["feature_extractor"]):
         conv = _conv1d if x.shape[-1] < 128 else _conv1d_im2col
         x = conv(
@@ -286,6 +285,72 @@ def feature_extractor(params, config: HubertConfig, waveform: jnp.ndarray) -> jn
             x = x * layer["group_norm"]["scale"] + layer["group_norm"]["bias"]
         x = jax.nn.gelu(x, approximate=False)
     return x
+
+
+def conv_receptive_field(config: HubertConfig):
+    """(receptive_field, total_stride) of the conv stack in samples."""
+    rf, stride = 1, 1
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        rf += (k - 1) * stride
+        stride *= s
+    return rf, stride
+
+
+_CHUNK_TARGET_ROWS = 16  # fills the 8-sublane tiles with headroom
+
+
+def feature_extractor(params, config: HubertConfig, waveform: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] → [B, T, conv_dim[-1]] (49.95 Hz frame rate at 16 kHz).
+
+    Small-batch long waveforms (the whole-utterance path: B=2, L=480k) are
+    CHUNKED before the stack: XLA lays [2, 95999, 512] conv activations out
+    at T(2,128) tiling — 2/8 sublane occupancy, a 4× bandwidth tax on every
+    LayerNorm/GELU/im2col op in the stack (measured ~100+ ms of a 234 ms
+    whole-utterance device step). Each row splits into overlapping chunks
+    whose input windows carry the stack's receptive-field halo, the stack
+    runs at [B·K, L', C] (full sublanes), and the outputs concatenate —
+    VALID convolutions compose, so every retained frame sees exactly the
+    same input window and the result is bit-identical to the unchunked
+    stack (tests pin equality). Per-position norms chunk freely; the 'group'
+    norm (hubert-base) normalizes over LENGTH and disables chunking."""
+    b, l = waveform.shape
+    x = waveform[..., None]  # [B, L, 1]
+    rf, stride = conv_receptive_field(config)
+    frames_total = l  # static python arithmetic (the per-layer floors)
+    for kk, s in zip(config.conv_kernel, config.conv_stride):
+        frames_total = (frames_total - kk) // s + 1
+    k = max(1, -(-_CHUNK_TARGET_ROWS // b))
+    if (b >= _CHUNK_TARGET_ROWS or config.feat_extract_norm != "layer"
+            or frames_total < 4 * k or l < 8 * rf):
+        return _conv_stack(params, config, x)
+
+    frames_per = -(-frames_total // k)
+    in_per = (frames_per - 1) * stride + rf
+    # every chunk layer length must divide exactly (no floor slack), or a
+    # chunk would emit frames at shifted windows — fall back if not
+    ln = in_per
+    for kk, s in zip(config.conv_kernel, config.conv_stride):
+        if (ln - kk) % s:
+            return _conv_stack(params, config, x)
+        ln = (ln - kk) // s + 1
+    assert ln == frames_per, (ln, frames_per)
+    # chunk c covers output frames [c·frames_per, (c+1)·frames_per) and
+    # reads samples [c·frames_per·stride, c·frames_per·stride + in_per)
+    l_need = (k - 1) * frames_per * stride + in_per
+    if l_need > l:
+        x = jnp.pad(x, ((0, 0), (0, l_need - l), (0, 0)))
+    chunks = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(x, c * frames_per * stride, in_per,
+                                         axis=1)
+            for c in range(k)
+        ],
+        axis=1,
+    )  # [B, K, in_per, 1]
+    y = _conv_stack(params, config,
+                    chunks.reshape(b * k, in_per, 1))  # [B·K, frames_per, C]
+    y = y.reshape(b, k * frames_per, y.shape[-1])
+    return y[:, :frames_total]
 
 
 def feature_lengths(config: HubertConfig, input_lengths: jnp.ndarray) -> jnp.ndarray:

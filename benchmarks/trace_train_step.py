@@ -65,9 +65,14 @@ def categorize(name: str, long_name: str = "") -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--whole", action="store_true",
+                    help="trace the whole-utterance step (T≈1500, remat + "
+                         "pallas flash) instead of the segmented flagship")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default="/tmp/aat_trace_step")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
 
@@ -78,6 +83,11 @@ def main():
     from aat_tpu.training.trainer import AATTrainerSegmentation
 
     audio_cfg = hub.hubert_large_config()
+    if args.whole:
+        audio_cfg = dataclasses.replace(
+            audio_cfg, attention_impl="pallas", remat=True,
+            remat_policy="full", hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, layerdrop=0.0)
     lm_cfg = llm.smollm_135m_config()
     config = AslmConfig(
         projection_type="linear",
@@ -95,16 +105,28 @@ def main():
         output_dir="/tmp/aat_trace_train",
     )
     trainer = AATTrainerSegmentation(model, params, tcfg)
-    bs, n_seg, frames, text_len = (4, 8, 4000, 32) if args.quick else (8, 16, 4000, 48)
     rng = np.random.default_rng(0)
-    batch = trainer._shard_batch({
-        "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
-        "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.float32),
-        "segments_boarders_attention_mask": np.ones((bs, n_seg), np.int32),
-        "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
-        "attention_mask": np.ones((bs, text_len), np.int32),
-        "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
-    })
+    if args.whole:
+        bs, seconds, text_len = (1, 15.0, 16) if args.quick else (2, 30.0, 32)
+        batch = trainer._shard_batch({
+            "waveforms": rng.normal(
+                0, 0.3, (bs, int(seconds * 16000))).astype(np.float32),
+            "waveforms_attention_mask": np.ones(
+                (bs, int(seconds * 16000)), np.int32),
+            "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
+            "attention_mask": np.ones((bs, text_len), np.int32),
+            "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+        })
+    else:
+        bs, n_seg, frames, text_len = (4, 8, 4000, 32) if args.quick else (8, 16, 4000, 48)
+        batch = trainer._shard_batch({
+            "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
+            "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.float32),
+            "segments_boarders_attention_mask": np.ones((bs, n_seg), np.int32),
+            "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
+            "attention_mask": np.ones((bs, text_len), np.int32),
+            "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+        })
     trainer.training_step([batch])
     trainer.training_step([batch])
     trainer.training_step([batch], fetch_metrics=True)  # steady state

@@ -13,6 +13,7 @@ transformers = pytest.importorskip("transformers")
 # which would corrupt the oracle; force full-precision torch kernels.
 torch.backends.mkldnn.enabled = False
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from aat_tpu.models import hubert as hub  # noqa: E402
@@ -164,3 +165,44 @@ def test_segment_mean_embedding_parity():
     ours_mean = np.asarray(masked_mean(ours, fm))
     mse = np.mean((ours_mean - ref_mean) ** 2)
     assert mse < 1e-6, f"segment-mean MSE {mse}"
+
+
+def test_chunked_feature_extractor_matches_unchunked():
+    """Small-batch long waveforms run the conv stack CHUNKED (overlapping
+    receptive-field windows, [B*K, L', C] rows for full sublane tiling) —
+    VALID convolutions compose, so the result must be bit-identical to the
+    unchunked stack, and gradients must flow identically."""
+    import dataclasses
+
+    # hubert-large conv geometry (the whole-utterance path), tiny widths
+    cfg = dataclasses.replace(
+        hub.tiny_test_config(),
+        conv_dim=(16,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+    )
+    params = hub.init_hubert_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    for b, sec in ((2, 3.0), (1, 2.17)):  # 2.17 s: frames_total % k != 0
+        wav = jnp.asarray(rng.normal(0, 0.3, (b, int(sec * 16000))),
+                          jnp.float32)
+        chunked = hub.feature_extractor(params, cfg, wav)
+        unchunked = hub._conv_stack(params, cfg, wav[..., None])
+        assert chunked.shape == unchunked.shape
+        np.testing.assert_array_equal(np.asarray(chunked),
+                                      np.asarray(unchunked))
+
+        g_c = jax.grad(lambda p: jnp.sum(
+            hub.feature_extractor(p, cfg, wav) ** 2))(params)
+        g_u = jax.grad(lambda p: jnp.sum(
+            hub._conv_stack(p, cfg, wav[..., None]) ** 2))(params)
+        # weight grads reduce over chunk rows in a different order than
+        # over one long row — f32 reassociation only (measured rel ~3e-5)
+        for a, c in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-4)
+    # large-batch segment rows keep the unchunked path (shape unchanged)
+    wav = jnp.asarray(rng.normal(0, 0.3, (16, 4000)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(hub.feature_extractor(params, cfg, wav)),
+        np.asarray(hub._conv_stack(params, cfg, wav[..., None])))
