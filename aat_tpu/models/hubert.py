@@ -220,6 +220,28 @@ def _dense(x, p):
                       preferred_element_type=jnp.float32).astype(x.dtype) + p["bias"]
 
 
+def _dense_row_parallel(x, p, tp_axis):
+    """Row-parallel dense for manual tensor parallelism inside a pipeline
+    body (input dim tp-sliced → psum partial products, add the replicated
+    bias once). ``tp_axis=None`` degrades to :func:`_dense`."""
+    y = jnp.einsum("...i,io->...o", x, p["kernel"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+    return y + p["bias"]
+
+
+def tp_partitionable(config: "HubertConfig", tp: int) -> bool:
+    """True when the encoder stack's widths split evenly across ``tp``
+    (attention heads and the FF hidden) — gates Megatron-style tp inside
+    the pipelined stack."""
+    return (
+        tp > 1
+        and config.num_attention_heads % tp == 0
+        and config.intermediate_size % tp == 0
+    )
+
+
 def _conv1d(x, kernel, bias=None, stride=1, padding="VALID", groups=1):
     """NHC conv: x [B, L, C_in], kernel [K, C_in/groups, C_out].
 
@@ -384,9 +406,13 @@ def _pos_conv_embedding(params, config: HubertConfig, hidden: jnp.ndarray) -> jn
 
 
 def _attention(params, config: HubertConfig, x: jnp.ndarray,
-               frame_mask: Optional[jnp.ndarray], dropout_rng=None):
+               frame_mask: Optional[jnp.ndarray], dropout_rng=None,
+               tp_axis=None):
     b, t, h = x.shape
-    nh, hd = config.num_attention_heads, config.head_dim
+    # head count derives from the KERNEL shape: inside a tp-sliced pipeline
+    # body the qkv kernels hold nh/tp heads (outside it equals the config)
+    hd = config.head_dim
+    nh = params["q"]["kernel"].shape[-1] // hd
     # heads split by reshape only — attention_bthd keeps the [B,T,H,D]
     # layout end to end, so no permute ever materializes at segment lengths
     q = _dense(x, params["q"]).reshape(b, t, nh, hd)
@@ -401,11 +427,18 @@ def _attention(params, config: HubertConfig, x: jnp.ndarray,
     from aat_tpu.ops.attention import attention_bthd
     from aat_tpu.ops.dropout import attention_seed
 
+    seed = attention_seed(dropout_rng)
+    if seed is not None and tp_axis is not None and config.attention_dropout > 0.0:
+        # the in-kernel dropout hash keys on the kernel-LOCAL head index;
+        # tp-sliced head groups would regenerate identical masks — salt by
+        # the tp shard index (same recipe as parallel/sequence.py)
+        seed = (jnp.asarray(seed, jnp.int32)
+                + jax.lax.axis_index(tp_axis) * jnp.int32(0x3C6EF35F))
     kwargs = dict(
         sm_scale=hd ** -0.5,
         use_pallas=config.attention_impl == "pallas",
         dropout_rate=config.attention_dropout,
-        dropout_seed=attention_seed(dropout_rng),
+        dropout_seed=seed,
     )
     sp_mesh = config.sp_mesh
     if sp_mesh is not None and sp_mesh.shape.get("sp", 1) > 1:
@@ -414,10 +447,12 @@ def _attention(params, config: HubertConfig, x: jnp.ndarray,
         ctx = ulysses_attention_bthd(q, k, v, key_mask, sp_mesh, **kwargs)
     else:
         ctx = attention_bthd(q, k, v, key_mask, causal=False, **kwargs)
-    return _dense(ctx.reshape(b, t, h), params["out"])
+    return _dense_row_parallel(ctx.reshape(b, t, nh * hd), params["out"],
+                               tp_axis)
 
 
-def _feed_forward(params, x, config: HubertConfig, dropout_rng=None):
+def _feed_forward(params, x, config: HubertConfig, dropout_rng=None,
+                  tp_axis=None):
     from aat_tpu.ops.dropout import dropout
 
     y = jax.nn.gelu(_dense(x, params["intermediate"]), approximate=False)
@@ -425,9 +460,17 @@ def _feed_forward(params, x, config: HubertConfig, dropout_rng=None):
         # HF HubertFeedForward: intermediate_dropout (activation_dropout)
         # then output_dropout (hidden_dropout)
         k1, k2 = jax.random.split(dropout_rng)
+        if tp_axis is not None:
+            # activation dropout acts on the tp-SLICED hidden — positional
+            # masks would repeat across column groups; salt per shard.
+            # (k2's mask acts on the post-psum REPLICATED output and must
+            # stay shard-identical — unsalted.)
+            k1 = jax.random.fold_in(k1, jax.lax.axis_index(tp_axis))
         y = dropout(k1, y, config.activation_dropout)
-        return dropout(k2, _dense(y, params["output"]), config.hidden_dropout)
-    return _dense(y, params["output"])
+        return dropout(
+            k2, _dense_row_parallel(y, params["output"], tp_axis),
+            config.hidden_dropout)
+    return _dense_row_parallel(y, params["output"], tp_axis)
 
 
 def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
@@ -449,29 +492,38 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
         dropout_rng, k = jax.random.split(dropout_rng)
         hidden = dropout(k, hidden, config.hidden_dropout)
 
-    def layer_step(hidden, layer, rng, fm=frame_mask):
+    # Megatron-style tp inside the pipeline body: decided here (static) so
+    # it binds as a closure default — jax.checkpoint below can't forward a
+    # string kwarg
+    pp_mesh = config.pp_mesh
+    tp_in_pipe = None
+    if pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1:
+        if tp_partitionable(config, pp_mesh.shape.get("tp", 1)):
+            tp_in_pipe = "tp"
+
+    def layer_step(hidden, layer, rng, fm=frame_mask, tp_axis=tp_in_pipe):
         k_attn = k_res1 = k_ff = None
         if rng is not None:
             k_attn, k_res1, k_ff = jax.random.split(rng, 3)
         if config.do_stable_layer_norm:  # pre-LN (large)
             attn_in = _layer_norm(hidden, layer["layer_norm"], eps)
             attn_out = _attention(layer["attention"], config, attn_in,
-                                  fm, k_attn)
+                                  fm, k_attn, tp_axis=tp_axis)
             if rng is not None:
                 attn_out = dropout(k_res1, attn_out, config.hidden_dropout)
             hidden = hidden + attn_out
             ff_in = _layer_norm(hidden, layer["final_layer_norm"], eps)
             hidden = hidden + _feed_forward(layer["feed_forward"], ff_in,
-                                            config, k_ff)
+                                            config, k_ff, tp_axis=tp_axis)
         else:  # post-LN (base)
             attn_out = _attention(layer["attention"], config, hidden,
-                                  fm, k_attn)
+                                  fm, k_attn, tp_axis=tp_axis)
             if rng is not None:
                 attn_out = dropout(k_res1, attn_out, config.hidden_dropout)
             hidden = hidden + attn_out
             hidden = _layer_norm(hidden, layer["layer_norm"], eps)
             hidden = hidden + _feed_forward(layer["feed_forward"], hidden,
-                                            config, k_ff)
+                                            config, k_ff, tp_axis=tp_axis)
             hidden = _layer_norm(hidden, layer["final_layer_norm"], eps)
         return hidden
 
@@ -480,12 +532,14 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
                   if config.remat_policy == "dots" else None)
         layer_step = jax.checkpoint(layer_step, policy=policy)
 
-    pp_mesh = config.pp_mesh
     if pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1:
         hidden = _encoder_pipelined(params, config, hidden, frame_mask,
                                     dropout_rng, layer_step, pp_mesh)
     else:
-        for idx, layer in enumerate(params["layers"]):
+        from aat_tpu.parallel.pipeline import layer_seq
+
+        for idx, layer in enumerate(
+                layer_seq(params["layers"], config.num_hidden_layers)):
             rng = (
                 jax.random.fold_in(dropout_rng, idx)
                 if dropout_rng is not None else None
@@ -516,14 +570,20 @@ def _encoder_pipelined(params, config: HubertConfig, hidden, frame_mask,
     microbatch index (masks are valid but decorrelated from 1-dev — the
     microbatch slice changes elementwise positions anyway). Incompatible
     with sp>1 (nested shard_map); the trainer enforces the exclusion."""
-    from aat_tpu.parallel.pipeline import gpipe_apply, stack_layers
+    from aat_tpu.parallel.pipeline import (
+        gpipe_apply, is_stacked, stack_layers, stacked_layer_specs)
 
     pp = pp_mesh.shape["pp"]
     sp_mesh = config.sp_mesh
     assert sp_mesh is None or sp_mesh.shape.get("sp", 1) == 1, \
         "pipeline and sequence parallelism cannot nest in the encoder"
     microbatches = config.pp_microbatches or 2 * pp
-    stacked = stack_layers(params["layers"])
+    # stage-resident masters arrive pre-stacked (trainer stacks them at
+    # placement; leading dim lives sharded P('pp') — zero resharding here)
+    stacked = (params["layers"] if is_stacked(params["layers"])
+               else stack_layers(params["layers"]))
+    tp_n = pp_mesh.shape.get("tp", 1)
+    tp_in_pipe = tp_partitionable(config, tp_n)
     fm = (frame_mask if frame_mask is not None
           else jnp.ones(hidden.shape[:2], jnp.int32))
     has_drop = dropout_rng is not None
@@ -546,6 +606,7 @@ def _encoder_pipelined(params, config: HubertConfig, hidden, frame_mask,
     return gpipe_apply(
         layer_fn, stacked, hidden, (fm,), shared, pp_mesh,
         num_layers=config.num_hidden_layers, microbatches=microbatches,
+        layer_specs=stacked_layer_specs(stacked, tp_n if tp_in_pipe else 1),
     )
 
 

@@ -147,6 +147,33 @@ def _dense(x, p):
     return y
 
 
+def _dense_row_parallel(x, p, tp_axis):
+    """Row-parallel dense for manual tensor parallelism inside a pipeline
+    body: the kernel's INPUT dim is tp-sliced, so local products are
+    partial sums — psum over ``tp_axis``, then add the (replicated) bias
+    exactly once. ``tp_axis=None`` degrades to :func:`_dense`."""
+    if tp_axis is None:
+        return _dense(x, p)
+    y = jnp.einsum("...i,io->...o", x, p["kernel"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jax.lax.psum(y, tp_axis)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def tp_partitionable(config: LlamaConfig, tp: int) -> bool:
+    """True when the decoder stack's widths split evenly across ``tp``
+    (attention heads, GQA kv heads, and the MLP hidden must all divide) —
+    the gate for Megatron-style tp inside the pipelined stack."""
+    return (
+        tp > 1
+        and config.num_attention_heads % tp == 0
+        and config.num_key_value_heads % tp == 0
+        and config.intermediate_size % tp == 0
+    )
+
+
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
     """positions [B, T] → cos/sin [B, T, head_dim] (float32, HF layout:
     the half-split rotate, inv_freq repeated twice)."""
@@ -172,9 +199,14 @@ def _apply_rope(q, k, cos, sin):
 
 
 def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_index,
-               key_padding_mask=None):
+               key_padding_mask=None, tp_axis=None):
     b, t, h = x.shape
-    nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    # head counts derive from the KERNEL shapes, not the config: inside a
+    # tp-sliced pipeline body the q/k/v kernels hold nh/tp (nkv/tp) heads,
+    # and outside they equal the config values
+    hd = config.head_dim
+    nh = p["q"]["kernel"].shape[-1] // hd
+    nkv = p["k"]["kernel"].shape[-1] // hd
     q = _dense(x, p["q"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = _dense(x, p["k"]).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
     v = _dense(x, p["v"]).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -221,13 +253,13 @@ def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_i
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
-    return _dense(ctx, p["out"]), new_cache
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+    return _dense_row_parallel(ctx, p["out"], tp_axis), new_cache
 
 
-def _mlp(p, x):
+def _mlp(p, x, tp_axis=None):
     gate = jax.nn.silu(_dense(x, p["gate"]))
-    return _dense(gate * _dense(x, p["up"]), p["down"])
+    return _dense_row_parallel(gate * _dense(x, p["up"]), p["down"], tp_axis)
 
 
 def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -315,18 +347,26 @@ def llama_forward(
     pp_mesh = config.pp_mesh
     if (pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1
             and kv_caches is None):
-        from aat_tpu.parallel.pipeline import gpipe_apply, stack_layers
+        from aat_tpu.parallel.pipeline import (
+            gpipe_apply, is_stacked, stack_layers, stacked_layer_specs)
+
+        # Megatron-style tp INSIDE the pipeline body when the widths divide:
+        # each (pp, tp) member holds [L/pp] width-sliced layers; the
+        # row-parallel out/down products psum over 'tp'
+        tp_n = pp_mesh.shape.get("tp", 1)
+        tp_axis = "tp" if tp_partitionable(config, tp_n) else None
 
         def layer_fn(h, layer, gidx, mb_idx, cos_mb, sin_mb, bias_mb, am_mb):
             attn_in = _rms_norm(h, layer["input_norm"], config.rms_norm_eps)
             attn_out, _ = _attention(
                 layer["attention"], config, attn_in, cos_mb, sin_mb,
                 bias_mb, None, cache_index, key_padding_mask=am_mb,
+                tp_axis=tp_axis,
             )
             h = h + attn_out
             mlp_in = _rms_norm(h, layer["post_attention_norm"],
                                config.rms_norm_eps)
-            return h + _mlp(layer["mlp"], mlp_in)
+            return h + _mlp(layer["mlp"], mlp_in, tp_axis=tp_axis)
 
         if config.remat:
             layer_fn = jax.checkpoint(
@@ -335,14 +375,21 @@ def llama_forward(
                         if config.remat_policy == "dots" else None))
         bias_b = jnp.broadcast_to(
             mask_bias, (b,) + mask_bias.shape[1:])  # per-row for mb split
+        stacked = (params["layers"] if is_stacked(params["layers"])
+                   else stack_layers(params["layers"]))
         hidden = gpipe_apply(
-            layer_fn, stack_layers(params["layers"]), hidden,
+            layer_fn, stacked, hidden,
             (cos, sin, bias_b, attention_mask), (), pp_mesh,
             num_layers=config.num_hidden_layers,
             microbatches=config.pp_microbatches or 2 * pp_mesh.shape["pp"],
+            layer_specs=stacked_layer_specs(
+                stacked, tp_n if tp_axis else 1),
         )
     else:
-        for i, layer in enumerate(params["layers"]):
+        from aat_tpu.parallel.pipeline import layer_seq
+
+        for i, layer in enumerate(
+                layer_seq(params["layers"], config.num_hidden_layers)):
             cache = kv_caches[i] if kv_caches is not None else None
             hidden, new_cache = layer_step(hidden, layer, cache)
             if new_caches is not None:

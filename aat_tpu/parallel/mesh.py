@@ -98,24 +98,52 @@ def _spec_for(path: str, shape, mesh: Mesh) -> P:
     return P(*spec)
 
 
-def shard_params(params, mesh: Mesh):
-    """NamedSharding tree for a parameter pytree (dicts/lists of arrays)."""
+def shard_params(params, mesh: Mesh, stacked_tp=None):
+    """NamedSharding tree for a parameter pytree (dicts/lists of arrays).
 
-    def walk(node, path):
+    A dict-valued ``layers`` node is the STAGE-RESIDENT stacked layout
+    (parallel/pipeline.py:stack_model_layers): every leaf under it is
+    [L, ...] and gets P('pp') on the leading dim — the masters (and the
+    optimizer moments initialized from them) live one layer-slice per
+    pipeline stage, and gpipe_apply's in_specs match them exactly (no
+    per-step resharding).
+
+    ``stacked_tp`` maps top-level subtree keys ('audio_encoder',
+    'lm_decoder') to True when that stack's widths are tp-partitionable
+    (the models' ``tp_partitionable``): its stacked leaves then ALSO get
+    Megatron-style 'tp' specs (pipeline.stacked_leaf_spec), matching the
+    tp-aware pipeline bodies. Otherwise stacked leaves shard over 'pp'
+    only (full-width redundant compute across tp)."""
+    from aat_tpu.parallel.pipeline import stacked_leaf_spec
+
+    pp = mesh.shape.get("pp", 1)
+    tp = mesh.shape.get("tp", 1)
+    stacked_tp = stacked_tp or {}
+
+    def walk(node, path, top=None, stacked=False):
         if isinstance(node, dict):
-            return {k: walk(v, f"{path}/{k}/") for k, v in node.items()}
+            return {
+                k: walk(v, f"{path}/{k}/", top if top is not None else k,
+                        stacked or (k == "layers" and isinstance(v, dict)))
+                for k, v in node.items()
+            }
         if isinstance(node, (list, tuple)):
-            t = [walk(v, f"{path}/{i}/") for i, v in enumerate(node)]
+            t = [walk(v, f"{path}/{i}/", top, stacked)
+                 for i, v in enumerate(node)]
             return type(node)(t) if not isinstance(node, tuple) else tuple(t)
         shape = np.shape(node)
         if len(shape) == 0:
             return NamedSharding(mesh, P())
+        if stacked and pp > 1 and shape[0] % pp == 0:
+            leaf_tp = tp if stacked_tp.get(top, False) else 1
+            return NamedSharding(
+                mesh, stacked_leaf_spec(path, shape, leaf_tp))
         return NamedSharding(mesh, _spec_for(path, shape, mesh))
 
     return walk(params, "/")
 
 
-def place_params(params, mesh: Mesh):
+def place_params(params, mesh: Mesh, stacked_tp=None):
     """Device-put a param tree according to :func:`shard_params`.
 
     Multi-process: a host numpy leaf is the full (process-identical) array,
@@ -124,7 +152,7 @@ def place_params(params, mesh: Mesh):
     equals the global shape as the global array and carves out the
     addressable shards. ``jax.device_put`` alone cannot target
     non-addressable devices."""
-    shardings = shard_params(params, mesh)
+    shardings = shard_params(params, mesh, stacked_tp)
     if jax.process_count() == 1:
         return jax.tree.map(jax.device_put, params, shardings)
 

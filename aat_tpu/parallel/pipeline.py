@@ -22,13 +22,16 @@ masks are decorrelated from (not bit-identical to) a 1-device run; the
 per-layer LayerDrop draw keys on the layer index only and stays
 step-global, matching torch semantics. Equivalence tests run dropout-off.
 
-Scope note (tp × pp): inside the shard_map the stacked layer params are
-sharded over ``pp`` only — each tp/fsdp member holds full-width layers and
-computes them redundantly (results stay correct; the dp×tp×pp composition
-is equivalence-tested). Making tp contribute compute/memory scaling inside
-the pipeline requires manual tensor-parallel matmuls + psum in the body
-(outside the pipeline, GSPMD provides them from the param shardings) —
-recorded in docs/ROADMAP.md alongside the stage-resident-masters item.
+Composition (tp × pp): with :func:`stacked_layer_specs` the stacked layer
+params shard over BOTH axes — P('pp') on the layer dim plus Megatron-style
+'tp' on the matmul widths — and the models' tp-aware layer bodies psum
+their row-parallel products inside the shard_map, so tp contributes real
+compute/memory scaling within pipelined stacks (each (pp, tp) member holds
+an [L/pp]-layer, width-sliced shard). The masters live in the SAME layout
+(stage-resident stacking, :func:`stack_model_layers` + mesh.shard_params),
+so no per-step resharding occurs. fsdp members inside a pipelined stack
+still hold full (width-sliced) layers — pp already provides the depth-wise
+memory scaling fsdp would otherwise contribute.
 """
 
 from __future__ import annotations
@@ -48,6 +51,95 @@ def stack_layers(layers: Sequence):
     return jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
 
 
+def is_stacked(layers) -> bool:
+    """True when ``layers`` is the stage-resident stacked layout (ONE tree
+    of [L, ...] leaves, leading dim sharded over 'pp') rather than the
+    interchange layout (a list of per-layer trees)."""
+    return isinstance(layers, dict)
+
+
+def layer_seq(layers, num_layers: int) -> list:
+    """View ``layers`` as a per-layer sequence regardless of layout.
+
+    Stacked leaves are sliced on the leading dim with static indices —
+    under jit these are slices of the pp-sharded master (the cold
+    non-pipelined paths, e.g. KV-cache decode during a pipelined training
+    run, stay correct; XLA inserts the transfers they need)."""
+    if not is_stacked(layers):
+        return list(layers)
+    return [jax.tree.map(lambda x, i=i: x[i], layers) for i in range(num_layers)]
+
+
+def stack_model_layers(params: dict) -> dict:
+    """Stage-resident layout switch: replace a model subtree's ``layers``
+    list with one stacked tree of [L, ...] leaves.
+
+    The trainer applies this to the pipelined stacks (HuBERT encoder /
+    Llama decoder) when the mesh has a pp axis, so the MASTER params — and
+    therefore the grads, optimizer moments, and checkpoints — live sharded
+    over 'pp' (mesh.shard_params puts P('pp') on the leading dim).
+    :func:`gpipe_apply` then consumes them with zero per-step resharding,
+    and per-stage weight+moment memory scales 1/pp."""
+    if "layers" in params and isinstance(params["layers"], (list, tuple)):
+        params = dict(params)
+        params["layers"] = stack_layers(params["layers"])
+    return params
+
+
+def stacked_leaf_spec(name: str, shape, tp: int, pp_axis: str = "pp",
+                      tp_axis: str = "tp") -> P:
+    """Megatron-style partition spec for one stacked-layer leaf [L, ...].
+
+    The leading (layer) dim is always ``pp``. With ``tp > 1`` the matmul
+    weights additionally split across ``tp`` by role: column-parallel
+    q/k/v/gate/up/intermediate shard their output dim (biases follow the
+    columns); row-parallel out/down/output shard their input dim (the
+    layer body psums their products; their biases stay replicated and are
+    added once after the psum). Callers must have verified head/width
+    divisibility — use the models' ``tp_partitionable``."""
+    rest = [None] * (len(shape) - 1)
+    if tp > 1 and rest:
+        col = any(k in name for k in
+                  ("/q/", "/k/", "/v/", "/gate/", "/up/", "/intermediate/"))
+        row = any(k in name for k in ("/out/", "/down/", "/output/"))
+        if col and shape[-1] % tp == 0:
+            rest[-1] = tp_axis
+        elif row and len(shape) >= 3 and shape[1] % tp == 0:
+            rest[0] = tp_axis
+    return P(pp_axis, *rest)
+
+
+def _leaf_path_str(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", getattr(p, "idx", None))
+        parts.append(str(key))
+    return "/" + "/".join(parts) + "/"
+
+
+def stacked_layer_specs(stacked, tp: int, pp_axis: str = "pp",
+                        tp_axis: str = "tp"):
+    """PartitionSpec tree for a stacked layer tree — shared by
+    mesh.shard_params (master placement) and gpipe_apply's in_specs, so
+    residency and the pipeline's view agree by construction."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: stacked_leaf_spec(
+            _leaf_path_str(path), jnp.shape(leaf), tp, pp_axis, tp_axis),
+        stacked,
+    )
+
+
+def unstack_model_layers(params: dict) -> dict:
+    """Inverse of :func:`stack_model_layers` (the interchange layout used
+    by exports, ports, and pp=1 runs)."""
+    if "layers" in params and is_stacked(params["layers"]):
+        params = dict(params)
+        stacked = params["layers"]
+        num_layers = int(jax.tree.leaves(stacked)[0].shape[0])
+        params["layers"] = layer_seq(stacked, num_layers)
+    return params
+
+
 def gpipe_apply(
     layer_fn: Callable,
     stacked_layers,
@@ -60,6 +152,7 @@ def gpipe_apply(
     microbatches: int,
     pp_axis: str = "pp",
     batch_axes=("dp", "fsdp"),
+    layer_specs=None,
 ):
     """Run ``x`` through ``num_layers`` stacked layers, pipelined over the
     mesh's ``pp`` axis.
@@ -69,7 +162,13 @@ def gpipe_apply(
     [B, ...] arrays that follow ``x``'s microbatch split (e.g. the frame
     mask); ``shared_consts`` are replicated (e.g. a dropout key).
     Requires ``num_layers % pp == 0`` and ``B_local % microbatches == 0``.
-    """
+
+    ``layer_specs`` — PartitionSpec tree for ``stacked_layers`` (default:
+    P(pp) on every leaf). Pass :func:`stacked_layer_specs` with tp > 1 to
+    run Megatron-style tensor parallelism INSIDE the pipeline body: each
+    (pp, tp) member then holds a [L/pp]-layer, width-sliced shard, and
+    ``layer_fn`` must psum its row-parallel products over the tp axis
+    (the models' tp-aware bodies do — models/{hubert,llama}.py)."""
     pp = mesh.shape.get(pp_axis, 1)
     if pp == 1:
         def step(h, xs_):
@@ -131,7 +230,8 @@ def gpipe_apply(
         return jax.lax.psum(y, pp_axis)
 
     bspec = P(batch_axes)
-    layer_specs = jax.tree.map(lambda _: P(pp_axis), stacked_layers)
+    if layer_specs is None:
+        layer_specs = jax.tree.map(lambda _: P(pp_axis), stacked_layers)
     batched_specs = tuple(P(batch_axes) for _ in batched_consts)
     shared_specs = tuple(P() for _ in shared_consts)
     return shard_map(

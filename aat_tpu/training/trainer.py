@@ -135,6 +135,36 @@ class AATTrainer:
             model.lm_config = dataclasses.replace(
                 lm_cfg_, pp_mesh=self.mesh if pp_n > 1 else None,
                 pp_microbatches=config.pp_microbatches)
+        self._stacked_tp = None
+        if pp_n > 1:
+            # stage-resident masters: the pipelined stacks (encoder/decoder
+            # "layers") switch to the stacked [L, ...] layout BEFORE the
+            # freeze mask / optimizer / placement are built, so params,
+            # grads, Adam moments, and checkpoints all live sharded P('pp')
+            # (one layer-slice per stage — parallel/pipeline.py) and
+            # gpipe_apply consumes them with zero per-step resharding.
+            from aat_tpu.parallel.pipeline import stack_model_layers
+
+            params = dict(params)
+            if isinstance(params.get("audio_encoder"), dict):
+                params["audio_encoder"] = stack_model_layers(
+                    params["audio_encoder"])
+            if isinstance(params.get("lm_decoder"), dict):
+                params["lm_decoder"] = stack_model_layers(params["lm_decoder"])
+            # tp × pp composition: stacks whose widths divide tp ALSO shard
+            # Megatron-style over 'tp' (matching the models' tp-aware
+            # pipeline bodies — the SAME predicates gate both sides)
+            tp_n = self.mesh.shape.get("tp", 1)
+            from aat_tpu.models import hubert as _hub
+            from aat_tpu.models import llama as _llm
+
+            self._stacked_tp = {
+                "audio_encoder": (
+                    hasattr(aud_cfg, "num_attention_heads")
+                    and _hub.tp_partitionable(
+                        model.audio_encoder_config, tp_n)),
+                "lm_decoder": _llm.tp_partitionable(model.lm_config, tp_n),
+            }
         self.compute_metrics = compute_metrics
         self.log_fn = log_fn or (lambda metrics: logger.info("metrics %s", metrics))
 
@@ -153,7 +183,7 @@ class AATTrainer:
         )
         self.tx = self._build_tx(params)
 
-        params = mesh_lib.place_params(params, self.mesh)
+        params = mesh_lib.place_params(params, self.mesh, self._stacked_tp)
         self.state = TrainState(0, params, self.tx.init(params))
         # load_best_model_at_end bookkeeping (reference trainer.py:63)
         self._best_metric: Optional[float] = None
@@ -1013,11 +1043,18 @@ class AATTrainer:
 
         from aat_tpu.models.build import model_config_dict
 
+        from aat_tpu.parallel.pipeline import unstack_model_layers
+
         keep = {"adapter": self.state.params["adapter"]}
         if self.config.train_audio_encoder:
             keep["audio_encoder"] = self.state.params["audio_encoder"]
         if self.config.train_lm_decoder:
             keep["lm_decoder"] = self.state.params["lm_decoder"]
+        # exports always use the interchange layout (per-layer lists) so a
+        # pp=1 consumer can load a pipelined run's adapter without knowing
+        # about the stage-resident stacked layout
+        keep = {k: unstack_model_layers(v) if isinstance(v, dict) else v
+                for k, v in keep.items()}
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(
@@ -1099,12 +1136,27 @@ class AATTrainer:
                     "(_keys_to_ignore_on_load_missing semantics)",
                     sorted(missing),
                 )
+            from aat_tpu.parallel.pipeline import (
+                is_stacked, stack_model_layers, unstack_model_layers)
+
             merged = dict(self.state.params)
             for key, subtree in saved_params.items():
                 if key not in merged:
                     raise ValueError(
                         f"checkpoint {path} has unknown param subtree {key!r}"
                     )
+                # cross-layout restore: a pp run resuming an interchange
+                # (per-layer list) checkpoint stacks it, and vice versa —
+                # the merge below is structure-sensitive
+                cur = merged[key]
+                if (isinstance(cur, dict) and isinstance(subtree, dict)
+                        and "layers" in cur and "layers" in subtree):
+                    if is_stacked(cur["layers"]) and not is_stacked(
+                            subtree["layers"]):
+                        subtree = stack_model_layers(dict(subtree))
+                    elif not is_stacked(cur["layers"]) and is_stacked(
+                            subtree["layers"]):
+                        subtree = unstack_model_layers(dict(subtree))
                 merged[key] = jax.tree.map(
                     lambda saved, cur: np.asarray(saved).astype(cur.dtype),
                     subtree, merged[key],
@@ -1115,7 +1167,8 @@ class AATTrainer:
                     "re-initializing (Adam moments reset)", path,
                 )
             restored = {"params": merged, "step": raw.get("step", 0)}
-        params = mesh_lib.place_params(restored["params"], self.mesh)
+        params = mesh_lib.place_params(restored["params"], self.mesh,
+                                       self._stacked_tp)
         self.state = TrainState(
             int(restored["step"]), params,
             opt_state if opt_state is not None else self.tx.init(params),

@@ -102,9 +102,17 @@ def _equiv_batch(rows=8):
 
 
 def _run_steps(trainer, batch, n=2):
+    from aat_tpu.parallel.pipeline import unstack_model_layers
+
     for _ in range(n):
         metrics = trainer.training_step([batch])
-    return metrics["train/loss"], jax.device_get(trainer.state.params)
+    # pp trainers hold stage-resident STACKED masters; normalize to the
+    # interchange layout so tree-leaf comparisons line up positionally
+    params = {
+        k: unstack_model_layers(v) if isinstance(v, dict) else v
+        for k, v in trainer.state.params.items()
+    }
+    return metrics["train/loss"], jax.device_get(params)
 
 
 def _max_tree_diff(a, b):
@@ -256,6 +264,93 @@ def test_pipeline_layerdrop_matches_single_device():
             mesh_lib.make_mesh(4, 1, 1, 1, 2), 4, 1, 1, pp=2)), batch)
     assert abs(loss_1 - loss_p) < 1e-5, (loss_1, loss_p)
     assert _max_tree_diff(params_1, params_p) < 1e-4
+
+
+def test_pp_masters_are_stage_resident():
+    """pp>1 switches the pipelined stacks (encoder + decoder "layers") to
+    the stacked [L, ...] layout with the leading dim sharded P('pp'): the
+    MASTERS — and the optimizer moments initialized from them — live one
+    layer-slice per stage, so gpipe_apply's in_specs match residency (zero
+    per-step resharding) and per-stage weight+moment memory scales 1/pp."""
+    from aat_tpu.parallel.pipeline import is_stacked
+
+    assert len(jax.devices()) >= 8
+    t = _tiny_trainer(mesh_lib.make_mesh(4, 1, 1, 1, 2), 4, 1, 1, pp=2)
+    enc = t.state.params["audio_encoder"]["layers"]
+    lm = t.state.params["lm_decoder"]["layers"]
+    assert is_stacked(enc) and is_stacked(lm)
+    for stacked in (enc, lm):
+        for leaf in jax.tree.leaves(stacked):
+            assert leaf.sharding.spec[0] == "pp", leaf.sharding
+    # Adam moments inherit the stacked sharding (zeros_like at tx.init)
+    pp_sharded_moments = [
+        leaf for leaf in jax.tree.leaves(t.state.opt_state)
+        if hasattr(leaf, "sharding") and getattr(leaf, "ndim", 0) >= 1
+        and leaf.sharding.spec and leaf.sharding.spec[0] == "pp"
+    ]
+    assert pp_sharded_moments, "no pp-sharded optimizer moments found"
+    # the adapter is NOT pipelined — its tree is untouched by the stacking
+    pooling = t.state.params["adapter"].get("pooling")
+    if pooling is not None:
+        assert isinstance(pooling["layers"], list)
+
+
+@pytest.mark.slow
+def test_tp_inside_pipeline_matches_single_device():
+    """dp=2 × tp=2 × pp=2: Megatron-style tensor parallelism INSIDE the
+    GPipe body — width-sliced stacked masters (qkv/intermediate columns,
+    out/down rows), psum'd row-parallel products, heads derived from kernel
+    shapes — must reproduce the 1-device step bit-for-bit up to reduction
+    order."""
+    from jax.sharding import PartitionSpec as P
+
+    assert len(jax.devices()) >= 8
+    batch = _equiv_batch()
+    loss_1, params_1 = _run_steps(
+        _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1), batch)
+    t = _tiny_trainer(mesh_lib.make_mesh(2, 1, 2, 1, 2), 2, 1, 2, pp=2)
+    # masters are genuinely width-sliced: columns for q, rows for out/down
+    enc_q = t.state.params["audio_encoder"]["layers"]["attention"]["q"]
+    lm_down = t.state.params["lm_decoder"]["layers"]["mlp"]["down"]
+    assert enc_q["kernel"].sharding.spec == P("pp", None, "tp")
+    assert enc_q["bias"].sharding.spec == P("pp", "tp")
+    assert lm_down["kernel"].sharding.spec == P("pp", "tp", None)
+    loss_m, params_m = _run_steps(t, batch)
+    assert abs(loss_1 - loss_m) < 1e-5, (loss_1, loss_m)
+    assert _max_tree_diff(params_1, params_m) < 1e-4
+
+
+@pytest.mark.slow
+def test_pp_cross_layout_checkpoint_restore(tmp_path):
+    """A pp run must resume an interchange-layout (pp=1) checkpoint and
+    vice versa: restore_checkpoint normalizes the per-layer-list ↔ stacked
+    layouts before the structure-sensitive merge."""
+    batch = _equiv_batch()
+
+    t1 = _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1)
+    t1.training_step([batch])
+    t1.config.output_dir = str(tmp_path / "from1")
+    p1 = t1.save_checkpoint()
+
+    # pp=2 trainer restores the pp=1 checkpoint (list → stacked)
+    tp = _tiny_trainer(mesh_lib.make_mesh(4, 1, 1, 1, 2), 4, 1, 1, pp=2)
+    tp.restore_checkpoint(p1, restore_opt_state=False)
+    from aat_tpu.parallel.pipeline import unstack_model_layers
+
+    got = {
+        k: unstack_model_layers(v) if isinstance(v, dict) else v
+        for k, v in tp.state.params.items()
+    }
+    assert _max_tree_diff(jax.device_get(got),
+                          jax.device_get(t1.state.params)) == 0.0
+
+    # and back: pp=2 checkpoint restores into a pp=1 trainer (stacked → list)
+    tp.config.output_dir = str(tmp_path / "fromp")
+    pp_ckpt = tp.save_checkpoint()
+    t2 = _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1, seed=3)
+    t2.restore_checkpoint(pp_ckpt, restore_opt_state=False)
+    assert _max_tree_diff(jax.device_get(t2.state.params),
+                          jax.device_get(t1.state.params)) == 0.0
 
 
 @pytest.mark.slow
