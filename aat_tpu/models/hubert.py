@@ -392,17 +392,54 @@ def feature_vector_attention_mask(
     return jnp.arange(feature_seq_len)[None, :] < out_lens[:, None]
 
 
+_POS_CHUNK_TARGET_ROWS = 8  # rows needed to fill the 8-sublane tiles
+
+
 def _pos_conv_embedding(params, config: HubertConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Grouped relative-positional conv + GELU (wav2vec2 SamePad semantics).
+
+    Small-batch long sequences (whole-utterance: B=2, T≈1500) are chunked
+    along time like ``feature_extractor``: XLA tiles the [2, T, G, C/G] conv
+    at T(2,128) — 2/8 sublane occupancy — which traced at ~7.8 ms/step of
+    the whole-utterance train step (fwd 2.1 ms + input/filter grads 5.7 ms
+    at ~10 TFLOP/s). Splitting each row into K stride-1 chunks that carry
+    the kernel's k−1 halo runs the conv at [B·K, T/K + k − 1, C] (full
+    sublanes) and is mathematically identical: every retained output frame
+    sees exactly the same input window (VALID convolutions compose).
+    Bitwise-equal on CPU; on the TPU the different conv batch shape can pick
+    a different f32 reduction order (measured ≤2.4e-6 at [2,1500,1024]).
+    """
     k = config.num_conv_pos_embeddings
     pad = k // 2
-    out = _conv1d(
-        jnp.pad(hidden, ((0, 0), (pad, pad), (0, 0))),
-        params["pos_conv"]["kernel"], params["pos_conv"]["bias"],
-        groups=config.num_conv_pos_embedding_groups,
-    )
-    if k % 2 == 0:  # SamePad: drop the trailing element for even kernels
-        out = out[:, :-1, :]
-    return jax.nn.gelu(out, approximate=False)
+    groups = config.num_conv_pos_embedding_groups
+    kernel, bias = params["pos_conv"]["kernel"], params["pos_conv"]["bias"]
+    b, t, c = hidden.shape
+    x = jnp.pad(hidden, ((0, 0), (pad, pad), (0, 0)))  # [B, T + 2·pad, C]
+    nchunks = max(1, -(-_POS_CHUNK_TARGET_ROWS // b))
+    frames_per = -(-t // nchunks)
+    # chunk only when rows are short of a sublane tile AND the halo overhead
+    # (k−1 extra frames per chunk) stays below the 4× tiling win
+    if nchunks == 1 or frames_per < k:
+        out = _conv1d(x, kernel, bias, groups=groups)
+        if k % 2 == 0:  # SamePad: drop the trailing element for even kernels
+            out = out[:, :-1, :]
+        return jax.nn.gelu(out, approximate=False)
+    in_per = frames_per + k - 1  # stride-1 VALID window for frames_per outputs
+    need = (nchunks - 1) * frames_per + in_per
+    if need > x.shape[1]:
+        # frames ≥ t are sliced off below; frames < t never read the extra pad
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1]), (0, 0)))
+    chunks = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(x, ci * frames_per, in_per, axis=1)
+            for ci in range(nchunks)
+        ],
+        axis=1,
+    )  # [B, K, in_per, C]
+    y = _conv1d(chunks.reshape(b * nchunks, in_per, c), kernel, bias,
+                groups=groups)  # [B·K, frames_per, C]
+    y = jax.nn.gelu(y, approximate=False)
+    return y.reshape(b, nchunks * frames_per, c)[:, :t]
 
 
 def _attention(params, config: HubertConfig, x: jnp.ndarray,
@@ -492,6 +529,23 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
         dropout_rng, k = jax.random.split(dropout_rng)
         hidden = dropout(k, hidden, config.hidden_dropout)
 
+    # Pre-pad the sequence ONCE to the flash kernel's block multiple (pad
+    # rows masked) so the per-layer q/k/v pads + output slices inside the
+    # attention wrapper become no-ops — 24 layers × fwd+bwd of [B,T,H] pad
+    # traffic at whole-utterance shapes. Row-wise ops (LN/MLP) on masked pad
+    # rows don't feed real rows, and masked attention ignores pad keys, so
+    # real-row outputs are unchanged. Gated at ≤10% extra rows: short-T
+    # paths (segments) and poorly-aligned lengths keep per-call padding.
+    from aat_tpu.ops.attention import padded_seq_len
+
+    t_real = hidden.shape[1]
+    t_pad = padded_seq_len(t_real, causal=False)
+    if t_real < t_pad <= int(1.1 * t_real):
+        hidden = jnp.pad(hidden, ((0, 0), (0, t_pad - t_real), (0, 0)))
+        fm = (frame_mask if frame_mask is not None
+              else jnp.ones((hidden.shape[0], t_real), jnp.int32))
+        frame_mask = jnp.pad(fm, ((0, 0), (0, t_pad - t_real)))
+
     # Megatron-style tp inside the pipeline body: decided here (static) so
     # it binds as a closure default — jax.checkpoint below can't forward a
     # string kwarg
@@ -557,7 +611,7 @@ def encoder(params, config: HubertConfig, hidden: jnp.ndarray,
 
     if config.do_stable_layer_norm:
         hidden = _layer_norm(hidden, params["encoder_layer_norm"], eps)
-    return hidden
+    return hidden[:, :t_real]
 
 
 def _encoder_pipelined(params, config: HubertConfig, hidden, frame_mask,

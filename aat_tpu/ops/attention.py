@@ -1159,6 +1159,28 @@ _flash_core.defvjp(_fwd, _bwd)
 MIN_PALLAS_SEQ_LEN = 256
 
 
+def padded_seq_len(t: int, causal: bool = False) -> int:
+    """Sequence length the flash wrapper will pad ``t`` to internally.
+
+    Transformer stacks can pre-pad their hidden state ONCE to this length
+    (with the pad masked in ``key_mask``) so the per-layer ``_pad_to`` of
+    q/k/v and the output slice become no-ops — at whole-utterance shapes
+    (T=1500 → 1536, 24 layers fwd+bwd) those per-call pads/slices traced at
+    several ms/step. Below the Pallas gate the kernel never engages and the
+    length is returned unchanged."""
+    if t < MIN_PALLAS_SEQ_LEN:
+        return t
+    tp = t
+    for _ in range(4):  # converges immediately in practice
+        bq, bk = _default_blocks(tp, tp, causal)
+        m = -(-tp // bq) * bq
+        m = -(-m // bk) * bk
+        if m == tp:
+            return tp
+        tp = m
+    return tp
+
+
 def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True,
               dropout_rate=0.0, dropout_seed=None):
     """Dispatch: Pallas fused kernel or XLA fallback (same semantics,

@@ -206,3 +206,50 @@ def test_chunked_feature_extractor_matches_unchunked():
     np.testing.assert_array_equal(
         np.asarray(hub.feature_extractor(params, cfg, wav)),
         np.asarray(hub._conv_stack(params, cfg, wav[..., None])))
+
+
+def test_chunked_pos_conv_matches_unchunked():
+    """The positional conv chunks along time the same way (stride-1, k−1
+    halo per chunk) — output and gradients must match the plain padded conv
+    bit-for-bit / to f32-reassociation tolerance."""
+    import dataclasses
+
+    def plain(params, cfg, hidden):
+        k = cfg.num_conv_pos_embeddings
+        pad = k // 2
+        out = hub._conv1d(
+            jnp.pad(hidden, ((0, 0), (pad, pad), (0, 0))),
+            params["pos_conv"]["kernel"], params["pos_conv"]["bias"],
+            groups=cfg.num_conv_pos_embedding_groups,
+        )
+        if k % 2 == 0:
+            out = out[:, :-1, :]
+        return jax.nn.gelu(out, approximate=False)
+
+    rng = np.random.default_rng(3)
+    for k, b, t in ((16, 2, 150), (15, 2, 97), (16, 1, 200), (16, 2, 31)):
+        cfg = dataclasses.replace(hub.tiny_test_config(),
+                                  num_conv_pos_embeddings=k)
+        params = hub.init_hubert_params(jax.random.PRNGKey(k), cfg)
+        hidden = jnp.asarray(
+            rng.normal(0, 0.5, (b, t, cfg.hidden_size)), jnp.float32)
+        got = hub._pos_conv_embedding(params, cfg, hidden)
+        want = plain(params, cfg, hidden)
+        assert got.shape == want.shape == hidden.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        g_c = jax.grad(lambda p: jnp.sum(
+            hub._pos_conv_embedding(p, cfg, hidden) ** 2))(params)["pos_conv"]
+        g_u = jax.grad(lambda p: jnp.sum(
+            plain(p, cfg, hidden) ** 2))(params)["pos_conv"]
+        for a, c in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-4)
+    # batch ≥ 8 rows keeps the single-conv path (still identical by def)
+    cfg = hub.tiny_test_config()
+    params = hub.init_hubert_params(jax.random.PRNGKey(0), cfg)
+    hidden = jnp.asarray(rng.normal(0, 0.5, (8, 40, cfg.hidden_size)),
+                         jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(hub._pos_conv_embedding(params, cfg, hidden)),
+        np.asarray(plain(params, cfg, hidden)))
