@@ -54,8 +54,15 @@ class LlamaConfig:
 
 
 def smollm_135m_config() -> LlamaConfig:
-    """HuggingFaceTB/SmolLM-135M-Instruct (reference TrainConfig default)."""
-    return LlamaConfig()
+    """HuggingFaceTB/SmolLM-135M-Instruct (reference TrainConfig default).
+
+    attention_impl='pallas' is the reference's flash_attention_2 request
+    (trainer_train.py:185-186) — the dispatch self-gates to XLA below
+    MIN_PALLAS_SEQ_LEN and for KV-cache decode, so only long prefill/
+    training sequences (e.g. whole-utterance audio prefixes, T≈1500, where
+    XLA attention traced at ~50 ms/step of fwd+activation-grad time) take
+    the fused kernel."""
+    return LlamaConfig(attention_impl="pallas")
 
 
 def qwen15_18b_config() -> LlamaConfig:
@@ -71,6 +78,7 @@ def qwen15_18b_config() -> LlamaConfig:
         max_position_embeddings=32768,
         tie_word_embeddings=False,
         attention_bias=True,
+        attention_impl="pallas",
     )
 
 

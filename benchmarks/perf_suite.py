@@ -346,6 +346,11 @@ def bench_train_whole_utterance(quick):
             hidden_dropout=0.0, attention_dropout=0.0,
             activation_dropout=0.0, layerdrop=0.0,
         )
+        # the LM decoder sees the ~1500 audio-frame prefix (linear
+        # projection, seq_len 1), so its attention impl matters as much as
+        # the encoder's here — follow the mode
+        lm_cfg = dataclasses.replace(
+            llm.smollm_135m_config(), attention_impl=impl)
         config = AslmConfig(
             projection_type="linear",
             audio_encoder_hidden=audio_cfg.hidden_size,

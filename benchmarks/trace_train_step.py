@@ -88,7 +88,7 @@ def main():
             audio_cfg, attention_impl="pallas", remat=True,
             remat_policy="full", hidden_dropout=0.0, attention_dropout=0.0,
             activation_dropout=0.0, layerdrop=0.0)
-    lm_cfg = llm.smollm_135m_config()
+    lm_cfg = llm.smollm_135m_config()  # pallas at whole-utterance lengths
     config = AslmConfig(
         projection_type="linear",
         audio_encoder_hidden=audio_cfg.hidden_size,
