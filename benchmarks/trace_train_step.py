@@ -52,7 +52,17 @@ def _out_elems(long_name: str) -> int:
     return n
 
 
+_IS_CUSTOM_CALL = re.compile(r"\)?\s*custom-call\(")
+
+
 def categorize(name: str, long_name: str = "") -> str:
+    # Pallas kernels lower to custom-call HLOs but the OP name carries the
+    # autodiff context (e.g. "transpose_jvp___.98" for a backward-kernel
+    # call), so detect the HLO opcode from the long name's "= ... custom-
+    # call(" form first — name-matching "custom-call" finds nothing and
+    # "transpose" would mis-bin the kernels as copies (both happened).
+    if _IS_CUSTOM_CALL.search(long_name):
+        return "attention(pallas)/custom-call"
     low = name.lower()
     for label, pat in CATEGORIES:
         if pat.search(low):
@@ -84,9 +94,11 @@ def main():
 
     audio_cfg = hub.hubert_large_config()
     if args.whole:
+        # no-remat = the fastest measured whole-utterance mode (remat is a
+        # batch-size lever at these shapes, perf_suite train_whole_utterance)
         audio_cfg = dataclasses.replace(
-            audio_cfg, attention_impl="pallas", remat=True,
-            remat_policy="full", hidden_dropout=0.0, attention_dropout=0.0,
+            audio_cfg, attention_impl="pallas", remat=False,
+            hidden_dropout=0.0, attention_dropout=0.0,
             activation_dropout=0.0, layerdrop=0.0)
     lm_cfg = llm.smollm_135m_config()  # pallas at whole-utterance lengths
     config = AslmConfig(
