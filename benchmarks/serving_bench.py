@@ -35,10 +35,24 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--prefill", type=int, default=96)
+    ap.add_argument("--lm", choices=["smollm", "qwen"], default="smollm",
+                    help="qwen = Qwen-1.5-1.8B shapes (the reference's "
+                         "second LM option, config.py:42): 1.84B bf16 "
+                         "params + the slot-pool KV cache on one v5e")
     args = ap.parse_args()
 
-    cfg = llm.smollm_135m_config()
-    params = llm.init_llama_params(jax.random.PRNGKey(0), cfg)
+    if args.lm == "qwen":
+        cfg = llm.qwen15_18b_config()
+        params = llm.init_llama_params(jax.random.PRNGKey(0), cfg)
+        # bf16 weights: 3.7 GB on device (f32 would be 7.4 of the 16 GB
+        # HBM before the KV pool); decode math upcasts on the MXU anyway
+        params = jax.tree.map(
+            lambda x: np.asarray(x, jnp.bfloat16.dtype), params)
+    else:
+        cfg = llm.smollm_135m_config()
+        params = llm.init_llama_params(jax.random.PRNGKey(0), cfg)
+    print(json.dumps({"lm": args.lm, "params_m": round(sum(
+        x.size for x in jax.tree.leaves(params)) / 1e6, 1)}), flush=True)
     eng = DecodeEngine(params, cfg, EngineConfig(
         max_slots=args.slots, max_prefill_len=args.prefill,
         max_new_tokens=args.steps, eos_token_id=-1,  # run full length
