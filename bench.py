@@ -58,8 +58,7 @@ def main():
     config = TokenizerConfig(max_segments=128)
     max_frames = config.max_segment_frames
 
-    @jax.jit
-    def tokenize(waveforms, lengths):
+    def tokenize_fn(waveforms, lengths):
         table = segment_waveforms(waveforms, lengths, config)
         segments, frame_mask = materialize_segments(
             waveforms, table["starts"], table["ends"], table["out_lens"],
@@ -67,6 +66,18 @@ def main():
             start_granularity=config.start_granularity,
         )
         return table["num_segments"], segments, frame_mask
+
+    # Auto output layouts: with the default (descending) layouts XLA ends
+    # the program with a relayout copy of the 196 MB segment tensor (~0.7
+    # ms/call, device-traced); letting layout assignment pick the output
+    # layout removes it. Downstream jits consume whatever layout arrives —
+    # boundaries/segment values are identical (pure data movement).
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        tokenize = jax.jit(tokenize_fn, out_shardings=Format(Layout.AUTO))
+    except Exception:  # layout API drift — the default-layout jit is fine
+        tokenize = jax.jit(tokenize_fn)
 
     # warmup / compile. NOTE on methodology: on this remoted TPU backend
     # block_until_ready returns before execution completes, so completion is
