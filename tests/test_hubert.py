@@ -208,6 +208,38 @@ def test_chunked_feature_extractor_matches_unchunked():
         np.asarray(hub._conv_stack(params, cfg, wav[..., None])))
 
 
+def test_encoder_prepad_matches_xla():
+    """T=500 engages the one-shot encoder pre-pad to the flash block
+    multiple (padded_seq_len(500)=512 ≤ 1.1·500): masked pad rows must not
+    perturb real-row outputs vs the unpadded XLA encoder, with ragged
+    per-row lengths exercising the mask path."""
+    import dataclasses
+
+    from aat_tpu.ops.attention import padded_seq_len
+
+    assert padded_seq_len(100) == 100          # below the Pallas gate
+    assert padded_seq_len(500) == 512          # block multiple
+    assert padded_seq_len(512) == 512          # already aligned
+
+    cfg = hub.tiny_test_config()
+    params = hub.init_hubert_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(11)
+    t = 500
+    hidden = jnp.asarray(rng.normal(0, 0.5, (2, t, cfg.hidden_size)),
+                         jnp.float32)
+    fm = np.ones((2, t), np.int32)
+    fm[1, 430:] = 0  # ragged: row 1 has real pad BEFORE the block pad
+    fm = jnp.asarray(fm)
+
+    cfg_p = dataclasses.replace(cfg, attention_impl="pallas")
+    out_p = hub.encoder(params, cfg_p, hidden, fm, None)
+    out_x = hub.encoder(params, cfg, hidden, fm, None)
+    assert out_p.shape == out_x.shape == hidden.shape
+    valid = np.asarray(fm).astype(bool)
+    diff = np.abs(np.asarray(out_p) - np.asarray(out_x))[valid]
+    assert diff.max() < 2e-4, diff.max()
+
+
 def test_chunked_pos_conv_matches_unchunked():
     """The positional conv chunks along time the same way (stride-1, k−1
     halo per chunk) — output and gradients must match the plain padded conv
