@@ -86,6 +86,20 @@ def _spec_for(path: str, shape, mesh: Mesh) -> P:
             spec[0] = "tp"
 
     if fsdp > 1 and ndim >= 2:
+        if "embedding" in path:
+            # Vocab-parallel embeddings extend fsdp along the SAME (vocab)
+            # axis as tp instead of sharding hidden: the lookup cotangent
+            # [B, T, H] then only needs a batch→replicated all-gather in
+            # backward, which SPMD expresses natively. Putting fsdp on the
+            # hidden axis forces a batch→hidden reshard the partitioner
+            # cannot express and falls back to "involuntary full
+            # rematerialization" (a full all-gather + re-slice per step).
+            if spec[0] == "tp":
+                if shape[0] % (tp * fsdp) == 0:
+                    spec[0] = ("tp", "fsdp")
+            elif shape[0] % fsdp == 0:
+                spec[0] = "fsdp"
+            return P(*spec)
         # ZeRO-3: shard the largest still-unsharded axis divisible by fsdp.
         # 1-D params (biases, norm scales) stay replicated — sharding them
         # buys nothing and forces tiny all-gathers.

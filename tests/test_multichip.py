@@ -40,8 +40,10 @@ def test_param_sharding_rules_cover_tp_and_fsdp():
     assert layer["attention"]["out"]["kernel"].spec[-2] == "tp"
     assert layer["mlp"]["gate"]["kernel"].spec[-1] == "tp"
     assert layer["mlp"]["down"]["kernel"].spec[-2] == "tp"
-    # vocab-sharded embedding
-    assert sh["embed_tokens"]["embedding"].spec[0] == "tp"
+    # vocab-sharded embedding: tp + fsdp extend the SAME (vocab) axis so
+    # the lookup cotangent only ever needs a batch→replicated all-gather
+    # (hidden-axis fsdp triggers SPMD involuntary full rematerialization)
+    assert sh["embed_tokens"]["embedding"].spec[0] == ("tp", "fsdp")
     # norm scale replicated
     assert all(s is None for s in sh["final_norm"]["scale"].spec)
 
