@@ -288,10 +288,56 @@ def _conv1d_im2col(x, kernel, bias=None, stride=1):
     return out
 
 
+def _conv1d_s2d(x, kernel, bias=None, stride=2):
+    """Stride-2 VALID conv as space-to-depth + dense GEMMs.
+
+    ``[B, T, C] → [B, T//2, 2C]`` is a CONTIGUOUS row-major reshape (element
+    (b, t, c) ↦ (b, t//2, (t%2)·C + c)); a K-tap stride-2 window then covers
+    ⌈K/2⌉ consecutive s2d rows, so the conv is ⌈K/2⌉ full-width matmuls
+    summed — no im2col patch tensor (K× activation traffic), no strided
+    slices, and autodiff emits plain transposed GEMMs (dx = shifted pad-adds,
+    dW = dense GEMMs) instead of the lhs/rhs-dilated convs whose MACs are
+    half zeros at stride 2. The odd-T pad row below is never read by a valid
+    output window: the W_a term reads s2d rows [0, lo), i.e. input rows up
+    to 2·lo−1 = T−K+1 ≤ T−1, and the K=3 W_b term reads only channels [:C]
+    (input row 2·lo = T−1) of s2d row lo."""
+    k, cin, cout = kernel.shape
+    b, t, c = x.shape
+    lo = (t - k) // 2 + 1
+    if t % 2:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+        t += 1
+    x2 = x.reshape(b, t // 2, 2 * c)
+    w = jnp.asarray(kernel, x.dtype)
+    if k == 2:
+        out = jnp.einsum(
+            "btc,co->bto", x2[:, :lo], w.reshape(2 * c, cout),
+            preferred_element_type=jnp.float32,
+        )
+    else:  # k == 3
+        out = jnp.einsum(
+            "btc,co->bto", x2[:, :lo], w[:2].reshape(2 * c, cout),
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "btc,co->bto", x2[:, 1 : lo + 1, :c], w[2],
+            preferred_element_type=jnp.float32,
+        )
+    out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + jnp.asarray(bias, x.dtype)
+    return out
+
+
 def _conv_stack(params, config: HubertConfig, x: jnp.ndarray) -> jnp.ndarray:
     """The raw conv stack over [B, L, 1] → [B, T, conv_dim[-1]]."""
     for i, layer in enumerate(params["feature_extractor"]):
-        conv = _conv1d if x.shape[-1] < 128 else _conv1d_im2col
+        kernel_size = layer["conv"]["kernel"].shape[0]
+        if x.shape[-1] < 128:
+            conv = _conv1d
+        elif config.conv_stride[i] == 2 and kernel_size in (2, 3):
+            conv = _conv1d_s2d
+        else:
+            conv = _conv1d_im2col
         x = conv(
             x, layer["conv"]["kernel"], layer["conv"].get("bias"),
             stride=config.conv_stride[i],

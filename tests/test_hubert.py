@@ -285,3 +285,30 @@ def test_chunked_pos_conv_matches_unchunked():
     np.testing.assert_array_equal(
         np.asarray(hub._pos_conv_embedding(params, cfg, hidden)),
         np.asarray(plain(params, cfg, hidden)))
+
+
+def test_conv1d_s2d_matches_conv1d():
+    """The space-to-depth GEMM formulation of stride-2 convs (production
+    conv-stack layers 2-7) must match lax.conv — values and weight/input
+    grads (f32 reassociation tolerance only)."""
+    rng = np.random.default_rng(0)
+    for k in (2, 3):
+        for t in (64, 65, 129):
+            x = jnp.asarray(rng.normal(0, 1, (3, t, 128)), jnp.float32)
+            w = jnp.asarray(rng.normal(0, 0.1, (k, 128, 128)), jnp.float32)
+            bias = jnp.asarray(rng.normal(0, 0.1, (128,)), jnp.float32)
+            ref = hub._conv1d(x, w, bias, stride=2)
+            got = hub._conv1d_s2d(x, w, bias, stride=2)
+            assert got.shape == ref.shape, (k, t)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+            def loss(fn):
+                return lambda xx, ww: jnp.sum(fn(xx, ww, bias, stride=2) ** 2)
+
+            gx_r, gw_r = jax.grad(loss(hub._conv1d), argnums=(0, 1))(x, w)
+            gx_s, gw_s = jax.grad(loss(hub._conv1d_s2d), argnums=(0, 1))(x, w)
+            np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                                       rtol=1e-4, atol=1e-4)
