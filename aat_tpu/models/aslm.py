@@ -427,8 +427,33 @@ class AslmModel:
         params: dict,
         inputs_embeds: jnp.ndarray,
         attention_mask: jnp.ndarray,
+        pack: int = 1,
     ) -> jnp.ndarray:
-        """LM forward over assembled embeds → logits (reference :371-379)."""
+        """LM forward over assembled embeds → logits (reference :371-379).
+
+        ``pack`` > 1 folds that many utterance rows into each LM row (a pure
+        [B, T, H] → [B/pack, pack·T, H] reshape — rows are equal-length by
+        construction, padding stays masked). Attention is block-diagonal per
+        utterance and rotary positions restart per utterance, so logits are
+        IDENTICAL to the unpacked call (tests pin this); the win is
+        amortizing the decoder's weight traffic over pack× more tokens per
+        step — the same reason the reference trains the big LM at batch 40
+        (reference src/aat/training/trainer.py:50,79) but without the
+        padding waste of ragged captions."""
+        if pack > 1:
+            b, t, h = inputs_embeds.shape
+            assert b % pack == 0, (b, pack)
+            packed = inputs_embeds.reshape(b // pack, pack * t, h)
+            mask = attention_mask.reshape(b // pack, pack * t)
+            positions = jnp.broadcast_to(
+                jnp.tile(jnp.arange(t, dtype=jnp.int32), pack)[None, :],
+                (b // pack, pack * t))
+            logits, _ = llm.llama_forward(
+                params["lm_decoder"], self.lm_config,
+                inputs_embeds=packed, attention_mask=mask,
+                positions=positions, pack_len=t,
+            )
+            return logits.reshape(b, t, logits.shape[-1])
         logits, _ = llm.llama_forward(
             params["lm_decoder"], self.lm_config,
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,

@@ -207,7 +207,7 @@ def _apply_rope(q, k, cos, sin):
 
 
 def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_index,
-               key_padding_mask=None, tp_axis=None):
+               key_padding_mask=None, tp_axis=None, pack_len=None):
     b, t, h = x.shape
     # head counts derive from the KERNEL shapes, not the config: inside a
     # tp-sliced pipeline body the q/k/v kernels hold nh/tp (nkv/tp) heads,
@@ -252,7 +252,7 @@ def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_i
         from aat_tpu.ops.attention import flash_attention
 
         ctx = flash_attention(
-            q, k, v, key_padding_mask, True, hd ** -0.5
+            q, k, v, key_padding_mask, True, hd ** -0.5, pack_len=pack_len
         )
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -277,7 +277,8 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def causal_mask_bias(
-    attention_mask: jnp.ndarray, q_len: int, kv_len: int, q_offset
+    attention_mask: jnp.ndarray, q_len: int, kv_len: int, q_offset,
+    pack_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Additive [B, 1, Q, K] bias combining causality and padding.
 
@@ -295,6 +296,10 @@ def causal_mask_bias(
     else:
         q_pos = jnp.arange(q_len)[:, None] + q_offset
         causal = (k_pos <= q_pos)[None, :, :]  # [1, Q, K]
+    if pack_len is not None:
+        # sequence packing: P equal-length utterances per row — attention
+        # additionally stays within the utterance (q_offset must be 0)
+        causal = causal & (q_pos // pack_len == k_pos // pack_len)
     allowed = causal & (attention_mask[:, None, :] > 0)
     return jnp.where(allowed, 0.0, neg)[:, None, :, :]
 
@@ -308,12 +313,16 @@ def llama_forward(
     positions: Optional[jnp.ndarray] = None,
     kv_caches: Optional[list] = None,
     cache_index: int | jnp.ndarray = 0,
+    pack_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[list]]:
     """Returns (logits [B, T, V], new_kv_caches).
 
     Prefill: pass embeds/ids and a [B, T] attention_mask.
     Decode: pass the next-token embeds, kv_caches, cache_index, and a
     [B, L_cache] attention_mask over the cache axis.
+    ``pack_len``: rows are P packed equal-length utterances of that many
+    tokens — attention is block-diagonal per utterance; pass per-utterance
+    ``positions`` (restarting at 0) for matching rotary phases.
     """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
@@ -330,7 +339,8 @@ def llama_forward(
 
     cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta)
     mask_bias = causal_mask_bias(
-        attention_mask, t, kv_len, 0 if kv_caches is None else cache_index
+        attention_mask, t, kv_len, 0 if kv_caches is None else cache_index,
+        pack_len=pack_len,
     )
 
     hidden = inputs_embeds
@@ -340,7 +350,7 @@ def llama_forward(
         attn_in = _rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
         attn_out, new_cache = _attention(
             layer["attention"], config, attn_in, cos, sin, mask_bias, cache,
-            cache_index, key_padding_mask=attention_mask,
+            cache_index, key_padding_mask=attention_mask, pack_len=pack_len,
         )
         hidden = hidden + attn_out
         mlp_in = _rms_norm(hidden, layer["post_attention_norm"], config.rms_norm_eps)
@@ -369,7 +379,7 @@ def llama_forward(
             attn_out, _ = _attention(
                 layer["attention"], config, attn_in, cos_mb, sin_mb,
                 bias_mb, None, cache_index, key_padding_mask=am_mb,
-                tp_axis=tp_axis,
+                tp_axis=tp_axis, pack_len=pack_len,
             )
             h = h + attn_out
             mlp_in = _rms_norm(h, layer["post_attention_norm"],

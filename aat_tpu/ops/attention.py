@@ -149,7 +149,7 @@ def _apply_prob_dropout(p, seed_ref, head_idx, q_start, k_start, s_stride,
     return jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
 
 
-def _causal_mask(s, q_start, k_start, block_k):
+def _causal_mask(s, q_start, k_start, block_k, pack_len=None):
     """Triangle select, applied unconditionally on every running block.
 
     A lax.cond that skipped the select on fully-below-diagonal blocks
@@ -161,10 +161,22 @@ def _causal_mask(s, q_start, k_start, block_k):
     constant would drop the iotas, but pallas_call rejects captured array
     constants; a monkeypatched no-mask A/B measured the whole select at
     ~2% of kernel time — not worth plumbing a mask input through the
-    kernels.)"""
+    kernels.)
+
+    ``pack_len`` (static): sequence-packing block-diagonal constraint —
+    rows are P packed equal-length utterances of ``pack_len`` tokens and
+    attention additionally requires the SAME utterance
+    (q_pos // pack_len == k_pos // pack_len). Pure iota arithmetic: no
+    segment-id tensor enters the kernel, and the packed mask is a subset of
+    causal so the triangular step-table grids stay valid (off-segment
+    blocks below the diagonal mask to exact zeros through the exp
+    underflow, like padding)."""
     q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(k_pos <= q_pos, s, _MASK)
+    allowed = k_pos <= q_pos
+    if pack_len is not None:
+        allowed = allowed & (q_pos // pack_len == k_pos // pack_len)
+    return jnp.where(allowed, s, _MASK)
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +185,8 @@ def _causal_mask(s, q_start, k_start, block_k):
 
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, causal: bool, block_q: int,
-                block_k: int, nk: int, dropout_rate: float, s_stride: int):
+                block_k: int, nk: int, dropout_rate: float, s_stride: int,
+                pack_len=None):
     # lse_ref is None when the caller doesn't need residuals (inference)
     head_idx = pl.program_id(0)
     j = pl.program_id(1)
@@ -198,7 +211,7 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
         )  # [BQ, BK]
         s = s + bias_ref[0]  # [1, BK]: sublane broadcast (cheap direction)
         if causal:
-            s = _causal_mask(s, q_start, k_start, block_k)
+            s = _causal_mask(s, q_start, k_start, block_k, pack_len)
 
         d = acc_scr.shape[-1]
         m_prev = m_scr[:]                               # [BQ, 128]
@@ -232,7 +245,7 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
 def _fwd_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
                     q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr,
                     acc_scr, *, block_q: int, block_k: int,
-                    dropout_rate: float, s_stride: int):
+                    dropout_rate: float, s_stride: int, pack_len=None):
     """Causal forward over the flattened lower-triangle grid.
 
     Same math as _fwd_kernel, but program_id(1) walks ONLY the blocks that
@@ -258,7 +271,7 @@ def _fwd_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     s = s + bias_ref[0]
-    s = _causal_mask(s, q_start, k_start, block_k)
+    s = _causal_mask(s, q_start, k_start, block_k, pack_len)
 
     d = acc_scr.shape[-1]
     m_prev = m_scr[:]
@@ -311,7 +324,7 @@ def _seed_arr(dropout_seed):
 
 def _flash_forward(q, k, v, key_mask, causal, sm_scale,
                    block_q=None, block_k=None, need_residuals=True,
-                   dropout_rate=0.0, dropout_seed=None):
+                   dropout_rate=0.0, dropout_seed=None, pack_len=None):
     """q [B, H, T, D]; k/v [B, KVH, S, D]; key_mask [B, S].
 
     Returns (out [B, H, T, D], lse [BH, Tp, 128] float32 or None, (Tp, Sp)).
@@ -348,7 +361,8 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
         if need_residuals:
             tri_kernel = functools.partial(
                 _fwd_tri_kernel, block_q=bq, block_k=bk,
-                dropout_rate=dropout_rate, s_stride=s_stride)
+                dropout_rate=dropout_rate, s_stride=s_stride,
+                pack_len=pack_len)
             tri_out_specs = (
                 pl.BlockSpec((1, bq, d), lambda i, s, jt, kt, re:
                              (i, jt[s], 0), memory_space=pltpu.VMEM),
@@ -365,7 +379,8 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
                 _fwd_tri_kernel(jt_ref, kt_ref, re_ref, seed_ref, bias_ref,
                                 q_ref, k_ref, v_ref, out_ref, None, m_scr,
                                 l_scr, acc_scr, block_q=bq, block_k=bk,
-                                dropout_rate=dropout_rate, s_stride=s_stride)
+                                dropout_rate=dropout_rate, s_stride=s_stride,
+                                pack_len=pack_len)
 
             tri_out_specs = pl.BlockSpec(
                 (1, bq, d), lambda i, s, jt, kt, re: (i, jt[s], 0),
@@ -425,7 +440,7 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
         kernel = functools.partial(_fwd_kernel, causal=causal, block_q=bq,
                                    block_k=bk, nk=nk,
                                    dropout_rate=dropout_rate,
-                                   s_stride=s_stride)
+                                   s_stride=s_stride, pack_len=pack_len)
         out_specs = (
             pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -442,7 +457,8 @@ def _flash_forward(q, k, v, key_mask, causal, sm_scale,
             _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
                         None, m_scr, l_scr, acc_scr, causal=causal,
                         block_q=bq, block_k=bk, nk=nk,
-                        dropout_rate=dropout_rate, s_stride=s_stride)
+                        dropout_rate=dropout_rate, s_stride=s_stride,
+                        pack_len=pack_len)
 
         out_specs = pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
                                  memory_space=pltpu.VMEM)
@@ -508,7 +524,7 @@ def _delta128(do_ref, out_ref, block_q):
 
 def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
               delta128, causal, head_idx, q_start, k_start, block_k,
-              dropout_rate, s_stride):
+              dropout_rate, s_stride, pack_len=None):
     """Shared backward core, [BQ, BK]: recompute the normalized
     probabilities from the saved logsumexp and form ds = p * (dp - delta).
     ``delta128`` is the lanes-broadcast rowsum(dO·O) value for this q-block.
@@ -525,7 +541,7 @@ def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     )
     s = s + bias_ref[0]  # [1, BK]: sublane broadcast (cheap direction)
     if causal:
-        s = _causal_mask(s, q_start, k_start, block_k)
+        s = _causal_mask(s, q_start, k_start, block_k, pack_len)
     bk = s.shape[1]
     p = jnp.exp(s - _tile_lanes(lse_ref[0], bk))  # [BQ, BK]
     dp = jax.lax.dot_general(
@@ -545,7 +561,8 @@ def _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                    out_ref, dq_ref, dq_scr, delta_scr, *, causal, block_q,
-                   block_k, nk, sm_scale, dropout_rate, s_stride):
+                   block_k, nk, sm_scale, dropout_rate, s_stride,
+                   pack_len=None):
     head_idx = pl.program_id(0)
     j = pl.program_id(1)
     kidx = pl.program_id(2)
@@ -564,7 +581,7 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _compute():
         _, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                           lse_ref, delta_scr[:], causal, head_idx, q_start,
-                          k_start, block_k, dropout_rate, s_stride)
+                          k_start, block_k, dropout_rate, s_stride, pack_len)
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -577,7 +594,8 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                     out_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal,
-                    block_q, block_k, nq, sm_scale, dropout_rate, s_stride):
+                    block_q, block_k, nq, sm_scale, dropout_rate, s_stride,
+                    pack_len=None):
     head_idx = pl.program_id(0)
     kidx = pl.program_id(1)
     j = pl.program_id(2)
@@ -598,7 +616,7 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                           lse_ref, _delta128(do_ref, out_ref, block_q),
                           causal, head_idx, q_start,
-                          k_start, block_k, dropout_rate, s_stride)
+                          k_start, block_k, dropout_rate, s_stride, pack_len)
         # contract the q dimension (dim 0 of both operands)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -642,7 +660,7 @@ def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
                           q_ref, k_ref, v_ref, do_ref, lse_ref, out_ref,
                           dq_ref, dk_ref, dv_ref, dq_scr, delta_scr, dk_scr,
                           dv_scr, *, block_q, block_k, n_steps, sm_scale,
-                          dropout_rate, s_stride):
+                          dropout_rate, s_stride, pack_len=None):
     """Causal fused backward over the flattened lower-triangle grid.
 
     Same math as _bwd_fused_kernel, but program_id(1) walks only real
@@ -667,7 +685,7 @@ def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
     k_start = kidx * block_k
     p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                       lse_ref, delta_scr[:], True, head_idx, q_start,
-                      k_start, block_k, dropout_rate, s_stride)
+                      k_start, block_k, dropout_rate, s_stride, pack_len)
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -695,7 +713,8 @@ def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
 def _bwd_fused_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                       lse_ref, out_ref, dq_ref, dk_ref, dv_ref, dq_scr,
                       delta_scr, dk_scr, dv_scr, *, causal, block_q, block_k,
-                      nq, nk, sm_scale, dropout_rate, s_stride):
+                      nq, nk, sm_scale, dropout_rate, s_stride,
+                      pack_len=None):
     """Single-pass backward: dq, dk, dv from ONE visit per score block.
 
     The two-kernel split (dq with k innermost, dkv with q innermost)
@@ -729,7 +748,7 @@ def _bwd_fused_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
     def _compute():
         p, ds = _ds_block(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                           lse_ref, delta_scr[:], causal, head_idx, q_start,
-                          k_start, block_k, dropout_rate, s_stride)
+                          k_start, block_k, dropout_rate, s_stride, pack_len)
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -771,7 +790,7 @@ def _fused_bwd_blocks(t, s, causal):
 
 def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
                     block_q=None, block_k=None, dropout_rate=0.0,
-                    dropout_seed=None, fused=True):
+                    dropout_seed=None, fused=True, pack_len=None):
     b, h, t, d = q.shape
     kvh, s = k.shape[1], k.shape[2]
     rep = h // kvh
@@ -868,7 +887,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
         dq, dk_rep, dv_rep = pl.pallas_call(
             functools.partial(_bwd_fused_tri_kernel, block_q=bq, block_k=bk,
                               n_steps=n_steps, sm_scale=sm_scale,
-                              dropout_rate=dropout_rate, s_stride=s_stride),
+                              dropout_rate=dropout_rate, s_stride=s_stride,
+                              pack_len=pack_len),
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
@@ -907,7 +927,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
         dq, dk_rep, dv_rep = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, causal=causal, block_q=bq,
                               block_k=bk, nq=nq, nk=nk, sm_scale=sm_scale,
-                              dropout_rate=dropout_rate, s_stride=s_stride),
+                              dropout_rate=dropout_rate, s_stride=s_stride,
+                              pack_len=pack_len),
             grid=(b * h, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
@@ -991,7 +1012,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, block_q=bq,
                           block_k=bk, nk=nk, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate, s_stride=s_stride),
+                          dropout_rate=dropout_rate, s_stride=s_stride,
+                          pack_len=pack_len),
         grid=(b * h, nq, nk),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, n: (i, j, 0),
@@ -1032,7 +1054,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     dk_rep, dv_rep = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, block_q=bq,
                           block_k=bk, nq=nq, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate, s_stride=s_stride),
+                          dropout_rate=dropout_rate, s_stride=s_stride,
+                          pack_len=pack_len),
         grid=(b * h, nk, nq),
         in_specs=dkv_in_specs,
         out_specs=(
@@ -1072,7 +1095,7 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
 # ---------------------------------------------------------------------------
 
 def _reference_attention(q, k, v, key_mask, causal, sm_scale,
-                         dropout_rate=0.0, dropout_seed=None):
+                         dropout_rate=0.0, dropout_seed=None, pack_len=None):
     """XLA attention with identical masking semantics (non-Pallas fallback).
 
     Supports GQA (k/v with fewer heads) and train-mode attention-prob
@@ -1090,7 +1113,10 @@ def _reference_attention(q, k, v, key_mask, causal, sm_scale,
         t, s = scores.shape[-2], scores.shape[-1]
         q_pos = jnp.arange(t)[:, None]
         k_pos = jnp.arange(s)[None, :]
-        allowed = allowed & (k_pos <= q_pos)[None, None]
+        ok = k_pos <= q_pos
+        if pack_len is not None:
+            ok = ok & (q_pos // pack_len == k_pos // pack_len)
+        allowed = allowed & ok[None, None]
     scores = jnp.where(allowed, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     # fully-masked rows: softmax of all-NEG_INF is uniform garbage; zero
@@ -1118,38 +1144,47 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     dropout_rate: float = 0.0,
     dropout_seed=None,
+    pack_len: Optional[int] = None,
 ):
     """Fused attention: q [B, H, T, D], k/v [B, H|KVH, S, D], key_mask [B, S]
     → [B, H, T, D]. GQA-aware (H % KVH == 0). ``dropout_rate``/``dropout_seed``
     apply train-mode attention-prob dropout inside the kernel (the backward
     regenerates the same mask from the position hash); a missing seed means
-    eval mode (no dropout)."""
+    eval mode (no dropout). ``pack_len`` (static): rows are packed
+    equal-length utterances of that many tokens — attention is additionally
+    blocked across utterances (requires ``causal``); see _causal_mask."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    if pack_len is not None:
+        assert causal, "sequence packing requires causal attention"
     rate = float(dropout_rate) if dropout_seed is not None else 0.0
     return _flash_core(q, k, v, key_mask, _seed_arr(dropout_seed), causal,
-                       sm_scale, rate)
+                       sm_scale, rate, pack_len)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_core(q, k, v, key_mask, seed, causal, sm_scale, dropout_rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_core(q, k, v, key_mask, seed, causal, sm_scale, dropout_rate,
+                pack_len=None):
     out, _, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale,
                                need_residuals=False,
-                               dropout_rate=dropout_rate, dropout_seed=seed)
+                               dropout_rate=dropout_rate, dropout_seed=seed,
+                               pack_len=pack_len)
     return out
 
 
-def _fwd(q, k, v, key_mask, seed, causal, sm_scale, dropout_rate):
+def _fwd(q, k, v, key_mask, seed, causal, sm_scale, dropout_rate,
+         pack_len=None):
     out, lse, _ = _flash_forward(q, k, v, key_mask, causal, sm_scale,
-                                 dropout_rate=dropout_rate, dropout_seed=seed)
+                                 dropout_rate=dropout_rate, dropout_seed=seed,
+                                 pack_len=pack_len)
     return out, (q, k, v, key_mask, seed, out, lse)
 
 
-def _bwd(causal, sm_scale, dropout_rate, residuals, g):
+def _bwd(causal, sm_scale, dropout_rate, pack_len, residuals, g):
     q, k, v, key_mask, seed, out, lse = residuals
     dq, dk, dv = _flash_backward(q, k, v, key_mask, out, lse, causal,
                                  sm_scale, g, dropout_rate=dropout_rate,
-                                 dropout_seed=seed)
+                                 dropout_seed=seed, pack_len=pack_len)
     return dq, dk, dv, None, None
 
 
@@ -1182,7 +1217,7 @@ def padded_seq_len(t: int, causal: bool = False) -> int:
 
 
 def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True,
-              dropout_rate=0.0, dropout_seed=None):
+              dropout_rate=0.0, dropout_seed=None, pack_len=None):
     """Dispatch: Pallas fused kernel or XLA fallback (same semantics,
     including the position-hash attention dropout).
 
@@ -1193,11 +1228,11 @@ def attention(q, k, v, key_mask, causal=False, sm_scale=None, use_pallas=True,
     """
     if use_pallas and q.shape[-2] >= MIN_PALLAS_SEQ_LEN:
         return flash_attention(q, k, v, key_mask, causal, sm_scale,
-                               dropout_rate, dropout_seed)
+                               dropout_rate, dropout_seed, pack_len)
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     return _reference_attention(q, k, v, key_mask, causal, sm_scale,
-                                dropout_rate, dropout_seed)
+                                dropout_rate, dropout_seed, pack_len)
 
 
 def attention_bthd(q, k, v, key_mask, causal=False, sm_scale=None,

@@ -82,6 +82,13 @@ class TrainingConfig:
     # numerics / parallelism (TPU-native additions)
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # sequence packing for the LM decoder: fold this many utterance rows
+    # into each decoder row (block-diagonal attention, per-utterance rotary
+    # positions — models/aslm.py:forward). Loss-equivalent to unpacked;
+    # amortizes the decoder's weight traffic over pack× more tokens per
+    # step, the lever for big-LM finetuning at short caption lengths
+    # (reference trains Qwen-1.5-1.8B at batch 40, trainer.py:50,79).
+    lm_pack: int = 1
     # encoder-layer rematerialization (memory for FLOPs; whole-utterance
     # T≈1500 training is the intended user). 'full' recomputes the whole
     # layer in the backward; 'dots' keeps matmul outputs so the recompute

@@ -356,7 +356,9 @@ class AATTrainer:
             segments_count=segments_count,
             dropout_rng=k_proj,
         )
-        logits = model.forward(params, inputs["inputs_embeds"], inputs["attention_mask"])
+        logits = model.forward(params, inputs["inputs_embeds"],
+                               inputs["attention_mask"],
+                               pack=self.config.lm_pack)
         return logits, inputs, bn_stats
 
     def _debug_metrics(self, params, batch, inputs):
