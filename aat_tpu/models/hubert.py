@@ -706,7 +706,8 @@ def _encoder_pipelined(params, config: HubertConfig, hidden, frame_mask,
     return gpipe_apply(
         layer_fn, stacked, hidden, (fm,), shared, pp_mesh,
         num_layers=config.num_hidden_layers, microbatches=microbatches,
-        layer_specs=stacked_layer_specs(stacked, tp_n if tp_in_pipe else 1),
+        layer_specs=stacked_layer_specs(stacked, tp_n if tp_in_pipe else 1,
+                                        fsdp=pp_mesh.shape.get("fsdp", 1)),
     )
 
 

@@ -401,7 +401,8 @@ def llama_forward(
             num_layers=config.num_hidden_layers,
             microbatches=config.pp_microbatches or 2 * pp_mesh.shape["pp"],
             layer_specs=stacked_layer_specs(
-                stacked, tp_n if tp_axis else 1),
+                stacked, tp_n if tp_axis else 1,
+                fsdp=pp_mesh.shape.get("fsdp", 1)),
         )
     else:
         from aat_tpu.parallel.pipeline import layer_seq

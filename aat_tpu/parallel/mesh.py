@@ -132,6 +132,7 @@ def shard_params(params, mesh: Mesh, stacked_tp=None):
 
     pp = mesh.shape.get("pp", 1)
     tp = mesh.shape.get("tp", 1)
+    fsdp = mesh.shape.get("fsdp", 1)
     stacked_tp = stacked_tp or {}
 
     def walk(node, path, top=None, stacked=False):
@@ -151,7 +152,7 @@ def shard_params(params, mesh: Mesh, stacked_tp=None):
         if stacked and pp > 1 and shape[0] % pp == 0:
             leaf_tp = tp if stacked_tp.get(top, False) else 1
             return NamedSharding(
-                mesh, stacked_leaf_spec(path, shape, leaf_tp))
+                mesh, stacked_leaf_spec(path, shape, leaf_tp, fsdp=fsdp))
         return NamedSharding(mesh, _spec_for(path, shape, mesh))
 
     return walk(params, "/")

@@ -87,7 +87,8 @@ def stack_model_layers(params: dict) -> dict:
 
 
 def stacked_leaf_spec(name: str, shape, tp: int, pp_axis: str = "pp",
-                      tp_axis: str = "tp") -> P:
+                      tp_axis: str = "tp", fsdp: int = 1,
+                      fsdp_axis: str = "fsdp") -> P:
     """Megatron-style partition spec for one stacked-layer leaf [L, ...].
 
     The leading (layer) dim is always ``pp``. With ``tp > 1`` the matmul
@@ -96,7 +97,14 @@ def stacked_leaf_spec(name: str, shape, tp: int, pp_axis: str = "pp",
     columns); row-parallel out/down/output shard their input dim (the
     layer body psums their products; their biases stay replicated and are
     added once after the psum). Callers must have verified head/width
-    divisibility — use the models' ``tp_partitionable``."""
+    divisibility — use the models' ``tp_partitionable``.
+
+    With ``fsdp > 1`` the stacked MATRICES (≥ 2 non-layer dims) additionally
+    shard their largest still-free axis over ``fsdp`` (ZeRO-3 residency for
+    masters/grads/moments); ``gpipe_apply`` all-gathers them once per step
+    at pipeline-body entry and the AD transpose reduce-scatters the grads
+    back. Stacked biases/norm scales stay fsdp-replicated — sharding them
+    buys nothing and forces tiny gathers."""
     rest = [None] * (len(shape) - 1)
     if tp > 1 and rest:
         col = any(k in name for k in
@@ -106,6 +114,12 @@ def stacked_leaf_spec(name: str, shape, tp: int, pp_axis: str = "pp",
             rest[-1] = tp_axis
         elif row and len(shape) >= 3 and shape[1] % tp == 0:
             rest[0] = tp_axis
+    if fsdp > 1 and len(shape) >= 3:
+        order = sorted(range(1, len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if rest[i - 1] is None and shape[i] % fsdp == 0 and shape[i] >= fsdp:
+                rest[i - 1] = fsdp_axis
+                break
     return P(pp_axis, *rest)
 
 
@@ -118,13 +132,15 @@ def _leaf_path_str(path) -> str:
 
 
 def stacked_layer_specs(stacked, tp: int, pp_axis: str = "pp",
-                        tp_axis: str = "tp"):
+                        tp_axis: str = "tp", fsdp: int = 1,
+                        fsdp_axis: str = "fsdp"):
     """PartitionSpec tree for a stacked layer tree — shared by
     mesh.shard_params (master placement) and gpipe_apply's in_specs, so
     residency and the pipeline's view agree by construction."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: stacked_leaf_spec(
-            _leaf_path_str(path), jnp.shape(leaf), tp, pp_axis, tp_axis),
+            _leaf_path_str(path), jnp.shape(leaf), tp, pp_axis, tp_axis,
+            fsdp, fsdp_axis),
         stacked,
     )
 
@@ -192,6 +208,27 @@ def gpipe_apply(
         m -= 1
 
     def body(stacked_local, x_local, batched_local, shared):
+        # ZeRO-3 × pp: leaves whose spec carries 'fsdp' arrive width-sliced
+        # (master residency); gather the full stage weights ONCE here — the
+        # AD transpose turns each gather into one reduce-scatter of the
+        # microbatch-accumulated grads at body exit, the standard ZeRO flow.
+        if any("fsdp" in ((ax,) if not isinstance(ax, tuple) else ax)
+               for spec in jax.tree.leaves(
+                   layer_specs, is_leaf=lambda s: isinstance(s, P))
+               for ax in spec if ax is not None):
+            flat, treedef = jax.tree.flatten(stacked_local)
+            specs = treedef.flatten_up_to(layer_specs)
+            gathered = []
+            for leaf, spec in zip(flat, specs):
+                for i, ax in enumerate(spec):
+                    axes = (ax,) if not isinstance(ax, tuple) else ax
+                    if "fsdp" in axes:
+                        assert ax == "fsdp", spec
+                        leaf = jax.lax.all_gather(leaf, "fsdp", axis=i,
+                                                  tiled=True)
+                        break
+                gathered.append(leaf)
+            stacked_local = jax.tree.unflatten(treedef, gathered)
         pp_idx = jax.lax.axis_index(pp_axis)
         b_local = x_local.shape[0]
         assert b_local % m == 0, (b_local, m)

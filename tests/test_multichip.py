@@ -369,3 +369,26 @@ def test_dp8_with_dropout_matches_single_device():
         _tiny_trainer(mesh_lib.make_mesh(8, 1, 1), 8, 1, 1, dropout=0.2), batch)
     assert abs(loss_1 - loss_8) < 1e-5, (loss_1, loss_8)
     assert _max_tree_diff(params_1, params_8) < 1e-4
+
+
+@pytest.mark.slow
+def test_fsdp_inside_pipeline_matches_single_device():
+    """dp=2 × fsdp=2 × pp=2 (VERDICT r3 item 6): stacked masters' widest
+    matrix axis additionally shards over 'fsdp' (ZeRO-3 residency);
+    gpipe_apply all-gathers the stage weights once per step at body entry
+    and the AD transpose reduce-scatters the grads back. The composed step
+    must reproduce the 1-device step."""
+    from jax.sharding import PartitionSpec as P
+
+    assert len(jax.devices()) >= 8
+    batch = _equiv_batch()
+    loss_1, params_1 = _run_steps(
+        _tiny_trainer(mesh_lib.make_mesh(1, 1, 1), 1, 1, 1), batch)
+    t = _tiny_trainer(mesh_lib.make_mesh(2, 2, 1, 1, 2), 2, 2, 1, pp=2)
+    # stacked matrices genuinely fsdp-sliced; stacked biases stay replicated
+    enc_q = t.state.params["audio_encoder"]["layers"]["attention"]["q"]
+    assert "fsdp" in tuple(enc_q["kernel"].sharding.spec)
+    assert tuple(enc_q["bias"].sharding.spec) in ((("pp",)), ("pp", None))
+    loss_m, params_m = _run_steps(t, batch)
+    assert abs(loss_1 - loss_m) < 1e-5, (loss_1, loss_m)
+    assert _max_tree_diff(params_1, params_m) < 1e-4
