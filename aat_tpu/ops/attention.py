@@ -656,11 +656,62 @@ def _tri_tables(nq, nk, bq, bk):
             np.asarray(rowend, np.int32))
 
 
+# fused-backward dk/dv scratch accumulation strategy (A/B'd on v5e,
+# benchmarks/ab_bwd_accum.py):
+#   "dynamic" — one [Sp, D] accumulator, read-modify-write at the dynamic
+#               row offset k_start (pl.ds) every step
+#   "static"  — same accumulator, but a compile-time unrolled pl.when per
+#               k-block index so every slice offset is static
+#   "parity"  — TWO accumulators alternated by step parity (static slices),
+#               halving the serial RMW dependency chain; merged at flush
+_BWD_ACCUM_MODES = ("dynamic", "static", "parity")
+
+
+def _accum_kv(dk_scr, dv_scr, dk_upd, dv_upd, kidx, step, k_start, block_k,
+              nk, sp, accum_mode):
+    """Accumulate this block's dk/dv updates into scratch (see modes above).
+
+    ``sp`` is the padded key extent; parity scratch is [2*Sp, D] with the
+    odd-step half at row offset ``sp``."""
+    if accum_mode == "dynamic":
+        rows = pl.ds(k_start, block_k)
+        dv_scr[rows, :] += dv_upd
+        dk_scr[rows, :] += dk_upd
+        return
+    for c in range(nk):
+        lo, hi = c * block_k, (c + 1) * block_k
+        if accum_mode == "static":
+            @pl.when(kidx == c)
+            def _acc(lo=lo, hi=hi):
+                dv_scr[lo:hi, :] += dv_upd
+                dk_scr[lo:hi, :] += dk_upd
+        else:  # parity
+            @pl.when((kidx == c) & (step % 2 == 0))
+            def _acc_even(lo=lo, hi=hi):
+                dv_scr[lo:hi, :] += dv_upd
+                dk_scr[lo:hi, :] += dk_upd
+
+            @pl.when((kidx == c) & (step % 2 == 1))
+            def _acc_odd(lo=sp + lo, hi=sp + hi):
+                dv_scr[lo:hi, :] += dv_upd
+                dk_scr[lo:hi, :] += dk_upd
+
+
+def _flush_kv(dk_ref, dv_ref, dk_scr, dv_scr, sp, accum_mode):
+    if accum_mode == "parity":
+        dk_ref[0] = (dk_scr[:sp, :] + dk_scr[sp:, :]).astype(dk_ref.dtype)
+        dv_ref[0] = (dv_scr[:sp, :] + dv_scr[sp:, :]).astype(dv_ref.dtype)
+    else:
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
 def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
                           q_ref, k_ref, v_ref, do_ref, lse_ref, out_ref,
                           dq_ref, dk_ref, dv_ref, dq_scr, delta_scr, dk_scr,
-                          dv_scr, *, block_q, block_k, n_steps, sm_scale,
-                          dropout_rate, s_stride, pack_len=None):
+                          dv_scr, *, block_q, block_k, n_steps, nk, sp,
+                          sm_scale, dropout_rate, s_stride, pack_len=None,
+                          accum_mode="dynamic"):
     """Causal fused backward over the flattened lower-triangle grid.
 
     Same math as _bwd_fused_kernel, but program_id(1) walks only real
@@ -690,15 +741,16 @@ def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rows = pl.ds(k_start, block_k)
-    dv_scr[rows, :] += jax.lax.dot_general(
+    dv_upd = jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dk_scr[rows, :] += jax.lax.dot_general(
+    dk_upd = jax.lax.dot_general(
         ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    _accum_kv(dk_scr, dv_scr, dk_upd, dv_upd, kidx, step, k_start, block_k,
+              nk, sp, accum_mode)
 
     @pl.when(rowend_ref[step] == 1)
     def _fin_row():
@@ -706,15 +758,14 @@ def _bwd_fused_tri_kernel(jtab_ref, ktab_ref, rowend_ref, seed_ref, bias_ref,
 
     @pl.when(step == n_steps - 1)
     def _fin_kv():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        _flush_kv(dk_ref, dv_ref, dk_scr, dv_scr, sp, accum_mode)
 
 
 def _bwd_fused_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                       lse_ref, out_ref, dq_ref, dk_ref, dv_ref, dq_scr,
                       delta_scr, dk_scr, dv_scr, *, causal, block_q, block_k,
-                      nq, nk, sm_scale, dropout_rate, s_stride,
-                      pack_len=None):
+                      nq, nk, sp, sm_scale, dropout_rate, s_stride,
+                      pack_len=None, accum_mode="dynamic"):
     """Single-pass backward: dq, dk, dv from ONE visit per score block.
 
     The two-kernel split (dq with k innermost, dkv with q innermost)
@@ -753,17 +804,18 @@ def _bwd_fused_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        rows = pl.ds(k_start, block_k)
-        dv_scr[rows, :] += jax.lax.dot_general(
+        dv_upd = jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         # q carries the softmax scale, so dk = ds^T @ (q·scale) needs no
         # extra factor; dq undoes it at finalize instead
-        dk_scr[rows, :] += jax.lax.dot_general(
+        dk_upd = jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        _accum_kv(dk_scr, dv_scr, dk_upd, dv_upd, kidx, j * nk + kidx,
+                  k_start, block_k, nk, sp, accum_mode)
 
     @pl.when(kidx == nk - 1)
     def _fin_row():
@@ -771,8 +823,7 @@ def _bwd_fused_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
 
     @pl.when((j == nq - 1) & (kidx == nk - 1))
     def _fin_kv():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        _flush_kv(dk_ref, dv_ref, dk_scr, dv_scr, sp, accum_mode)
 
 
 # beyond this S the fused backward's persistent [Sp, D] f32 dk/dv scratch
@@ -790,7 +841,8 @@ def _fused_bwd_blocks(t, s, causal):
 
 def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
                     block_q=None, block_k=None, dropout_rate=0.0,
-                    dropout_seed=None, fused=True, pack_len=None):
+                    dropout_seed=None, fused=True, pack_len=None,
+                    accum_mode="dynamic"):
     b, h, t, d = q.shape
     kvh, s = k.shape[1], k.shape[2]
     rep = h // kvh
@@ -807,6 +859,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
     nq, nk = tp // bq, sp // bk
     s_stride = s  # position-hash stride; must equal the forward's
     seed = _seed_arr(dropout_seed)
+    assert accum_mode in _BWD_ACCUM_MODES, accum_mode
+    kv_scr_rows = 2 * sp if accum_mode == "parity" else sp
 
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qf = _pad_to(qs.reshape(b * h, t, d), tp, axis=1)
@@ -880,15 +934,16 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
             scratch_shapes=[
                 pltpu.VMEM((bq, d), jnp.float32),
                 pltpu.VMEM((bq, _LANES), jnp.float32),
-                pltpu.VMEM((sp, d), jnp.float32),
-                pltpu.VMEM((sp, d), jnp.float32),
+                pltpu.VMEM((kv_scr_rows, d), jnp.float32),
+                pltpu.VMEM((kv_scr_rows, d), jnp.float32),
             ],
         )
         dq, dk_rep, dv_rep = pl.pallas_call(
             functools.partial(_bwd_fused_tri_kernel, block_q=bq, block_k=bk,
-                              n_steps=n_steps, sm_scale=sm_scale,
+                              n_steps=n_steps, nk=nk, sp=sp,
+                              sm_scale=sm_scale,
                               dropout_rate=dropout_rate, s_stride=s_stride,
-                              pack_len=pack_len),
+                              pack_len=pack_len, accum_mode=accum_mode),
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
@@ -926,9 +981,10 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
                                memory_space=pltpu.VMEM)
         dq, dk_rep, dv_rep = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, causal=causal, block_q=bq,
-                              block_k=bk, nq=nq, nk=nk, sm_scale=sm_scale,
+                              block_k=bk, nq=nq, nk=nk, sp=sp,
+                              sm_scale=sm_scale,
                               dropout_rate=dropout_rate, s_stride=s_stride,
-                              pack_len=pack_len),
+                              pack_len=pack_len, accum_mode=accum_mode),
             grid=(b * h, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
@@ -951,8 +1007,8 @@ def _flash_backward(q, k, v, key_mask, out, lse, causal, sm_scale, g,
             scratch_shapes=[
                 pltpu.VMEM((bq, d), jnp.float32),
                 pltpu.VMEM((bq, _LANES), jnp.float32),
-                pltpu.VMEM((sp, d), jnp.float32),
-                pltpu.VMEM((sp, d), jnp.float32),
+                pltpu.VMEM((kv_scr_rows, d), jnp.float32),
+                pltpu.VMEM((kv_scr_rows, d), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 # j carries the dk/dv scratch accumulators → sequential

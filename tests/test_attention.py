@@ -300,3 +300,35 @@ def test_attention_dropout_statistics_and_eval_mode():
         jnp.int32(7) + head * attn_mod._GOLDEN, q_pos, k_pos, 32, rate))
     frac = 1.0 - keep.mean()
     assert abs(frac - rate) < 0.03
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_backward_accum_modes_match(monkeypatch, causal):
+    """dk/dv scratch accumulation strategies (dynamic / static / parity —
+    see ops/attention._BWD_ACCUM_MODES) are pure scheduling variants: grads
+    must match the default bitwise. 128-blocks at t=s=320 force multiple
+    k-blocks so the static unroll and parity double-buffering both engage."""
+    import aat_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_FUSED_BLOCKS_CAUSAL", (128, 128))
+    monkeypatch.setattr(attn_mod, "_FUSED_BLOCKS_DENSE", (128, 128))
+    rng = np.random.default_rng(11)
+    q, k, v, mask = make_qkv(rng, b=2, h=2, t=320, s=320, d=8)
+    sm = q.shape[-1] ** -0.5
+    out, lse, _ = attn_mod._flash_forward(q, k, v, mask, causal, sm)
+    g = jnp.asarray(rng.normal(0, 1, out.shape).astype(np.float32))
+
+    base = attn_mod._flash_backward(q, k, v, mask, out, lse, causal, sm, g,
+                                    accum_mode="dynamic")
+    # static unroll: same accumulation order -> bitwise identical
+    alt = attn_mod._flash_backward(q, k, v, mask, out, lse, causal, sm, g,
+                                   accum_mode="static")
+    for a, b in zip(alt, base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # parity double-buffer: (even-sum + odd-sum) reorders the f32 adds, so
+    # equality is up to accumulation rounding (~1e-7 at these magnitudes)
+    alt = attn_mod._flash_backward(q, k, v, mask, out, lse, causal, sm, g,
+                                   accum_mode="parity")
+    for a, b in zip(alt, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
