@@ -408,6 +408,12 @@ class ComputeMetrics:
             out["evaluate_rougeL"] = r["rougeL"]
             out["evaluate_rougeLsum"] = r["rougeLsum"]
             out["evaluate_meteor"] = meteor(generations, wer_refs)
+            # disclose the env-blocked synonym stage IN the metrics dict
+            # (not only the one-shot log warning): 0.0 = exact+stem matching
+            # only, scores may trail nltk/evaluate METEOR by synonym-only
+            # matches; 1.0 = full WordNet-backed alignment
+            _, wn = _meteor_backends()
+            out["evaluate_meteor_wordnet_stage"] = float(wn is not None)
         except Exception as e:  # noqa: BLE001
             print("Catch eval exception", e)
         return out
