@@ -318,26 +318,29 @@ def bench_train_whole_utterance(quick):
     from aat_tpu.training.config import TrainingConfig
     from aat_tpu.training.trainer import AATTrainer
 
-    bs, seconds, text_len = (2, 30.0, 32)
-    rng = np.random.default_rng(0)
+    seconds, text_len = 30.0, 32
     lm_cfg = llm.smollm_135m_config()
-    batch = {
-        "waveforms": rng.normal(0, 0.3, (bs, int(seconds * 16000))).astype(np.float32),
-        "waveforms_attention_mask": np.ones((bs, int(seconds * 16000)), np.int32),
-        "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
-        "attention_mask": np.ones((bs, text_len), np.int32),
-        "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
-    }
-    audio_seconds = bs * seconds
 
-    # (attention impl, remat mode): xla/pallas full-remat is the historical
-    # comparison; 'dots' saves matmul outputs (elementwise-only recompute +
-    # the attention-kernel re-run) and 'none' keeps all activations — at
-    # 2x30 s the whole no-remat step fits v5e's 16 GB comfortably, so remat
-    # is a batch-size lever, not a requirement
-    modes = [("xla", "full"), ("pallas", "full"),
-             ("pallas", "dots"), ("pallas", "none")]
-    for impl, remat_mode in modes:
+    # (batch, attention impl, remat mode): xla/pallas full-remat is the
+    # historical comparison; 'dots' saves matmul outputs (elementwise-only
+    # recompute + the attention-kernel re-run) and 'none' keeps all
+    # activations — at 30 s utterances the no-remat step fits v5e's 16 GB
+    # up to bs=6, so remat is a batch-size lever, not a requirement.
+    # bs=4/none is the OFFICIAL row (ab_whole_batch.py sweep: bs=4 beats
+    # bs=2 by ~8%/audio-s and bs=6 regresses — HBM pressure).
+    modes = [(2, "xla", "full"), (2, "pallas", "full"),
+             (2, "pallas", "dots"), (2, "pallas", "none"),
+             (4, "pallas", "none")]
+    for bs, impl, remat_mode in modes:
+        rng = np.random.default_rng(0)
+        batch = {
+            "waveforms": rng.normal(0, 0.3, (bs, int(seconds * 16000))).astype(np.float32),
+            "waveforms_attention_mask": np.ones((bs, int(seconds * 16000)), np.int32),
+            "input_ids": rng.integers(1, lm_cfg.vocab_size, (bs, text_len)),
+            "attention_mask": np.ones((bs, text_len), np.int32),
+            "input_ids_attention_mask": np.ones((bs, text_len), np.int32),
+        }
+        audio_seconds = bs * seconds
         audio_cfg = dataclasses.replace(
             hub.hubert_large_config(), attention_impl=impl,
             remat=remat_mode != "none",
@@ -376,6 +379,8 @@ def bench_train_whole_utterance(quick):
             trainer.training_step([sb], fetch_metrics=(i == iters - 1))
         dt = (time.perf_counter() - t0) / iters
         suffix = impl if remat_mode == "full" else f"{impl}_{remat_mode}"
+        if bs != 2:
+            suffix = f"{suffix}_bs{bs}"
         report(f"whole_utterance_train_step_bf16_remat_{suffix}", dt,
                audio_seconds, "audio_s/s")
 
@@ -470,6 +475,38 @@ def bench_train_qwen(quick):
     print(json.dumps({"metric": "qwen18b_trained_params_b",
                       "value": round(n_lm / 1e9, 2), "unit": "B params",
                       "loss": round(float(m["train/loss"]), 3)}), flush=True)
+
+    # sequence-packed row (VERDICT r3 item 3): at T≈96 the 1.8B decoder's
+    # matmuls are weight-bandwidth-starved; lm_pack folds P utterance rows
+    # into each decoder row (block-diagonal attention, per-utterance rotary
+    # — models/aslm.py:forward), so the same weights stream over P× more
+    # tokens. Math is IDENTICAL to unpacked (tests/test_packing.py); bs
+    # scales with pack so the per-utterance work is unchanged.
+    del trainer, batch
+    pack = 4 if quick else 8
+    tcfg_p = dataclasses.replace(tcfg, lm_pack=pack,
+                                 output_dir="/tmp/aat_bench_qwen_pack")
+    trainer = AATTrainerSegmentation(model, params, tcfg_p)
+    bsp = bs * pack
+    batch = trainer._shard_batch({
+        "batched_segments": rng.normal(0, 0.3, (bsp, n_seg, frames)).astype(np.float32),
+        "segments_waveforms_mask": np.ones((bsp, n_seg, frames), np.float32),
+        "segments_boarders_attention_mask": np.ones((bsp, n_seg), np.int32),
+        "input_ids": rng.integers(1, lm_cfg.vocab_size, (bsp, text_len)),
+        "attention_mask": np.ones((bsp, text_len), np.int32),
+        "input_ids_attention_mask": np.ones((bsp, text_len), np.int32),
+    })
+    audio_seconds = bsp * n_seg * frames / 16000
+    trainer.training_step([batch])
+    trainer.training_step([batch])
+    m = trainer.training_step([batch], fetch_metrics=True)
+    assert np.isfinite(m["train/loss"]), m
+    t0 = time.perf_counter()
+    for i in range(iters):
+        m = trainer.training_step([batch], fetch_metrics=(i == iters - 1))
+    dt = (time.perf_counter() - t0) / iters
+    report(f"qwen18b_finetune_step_packed{pack}", dt, audio_seconds,
+           "audio_s/s")
 
 
 def bench_generation(quick):
