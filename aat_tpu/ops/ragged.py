@@ -31,12 +31,38 @@ def windowed_gather(
 
     A scalar gather of B*S*length elements is element-wise on TPU (measured
     ~0.14G elem/s on v5e); regrouping into [L/block, block] rows turns it
-    into a row gather with `block`-wide contiguous reads — measured
-    ~205G elem/s at [8, 480000] × [8, 64] × 4000.
+    into a row gather with `block`-wide contiguous reads.
+
+    The gather runs over small BATCH CHUNKS (lax.map, 2 waveforms/chunk)
+    instead of one flattened [B*L/block, block] source: XLA keeps a
+    VMEM-resident gather source only while it fits (~<=64 MB), so the
+    flat form fell off a ~4x cliff at batch 64 x 30 s (123 MB source,
+    142 -> 50 GB/s, device-traced fusion.3 = 24 ms of a 60 ms program;
+    benchmarks/ab_gather_chunk.py). Chunked sources stay ~2 MB and hold
+    ~200-220 GB/s at every batch size — faster than the flat gather even
+    when the flat source fits.
     """
     b, l = x.shape
     s = starts.shape[1]
     assert length % block == 0 and l % block == 0
+    if b >= 4:
+        chunk = 2 if b % 2 == 0 else 1
+        xc = x.reshape(b // chunk, chunk, l)
+        sc = starts.reshape(b // chunk, chunk, s)
+        out = jax.lax.map(
+            lambda args: _windowed_gather_flat(args[0], args[1], length, block),
+            (xc, sc),
+        )
+        return out.reshape(b, s, length)
+    return _windowed_gather_flat(x, starts, length, block)
+
+
+def _windowed_gather_flat(
+    x: jnp.ndarray, starts: jnp.ndarray, length: int, block: int
+) -> jnp.ndarray:
+    """One flattened row gather over [B*L/block, block] (see windowed_gather)."""
+    b, l = x.shape
+    s = starts.shape[1]
     rows = x.reshape(b * (l // block), block)
     n_rows = length // block
     row_idx = starts[..., None] // block + jnp.arange(n_rows)[None, None, :]

@@ -137,3 +137,59 @@ class AdaptiveAudioTokenizer:
         """Jitted fixed-shape batch segmentation; see
         :func:`aat_tpu.ops.segmentation.segment_waveforms`."""
         return seg_ops.segment_waveforms(waveforms, lengths, self.config)
+
+
+def tokenize_dense(waveforms, lengths, config=TokenizerConfig(),
+                   batch_chunk: int = 8):
+    """Full device tokenize: segmentation table + dense segment batch.
+
+    Composes :func:`~aat_tpu.ops.segmentation.segment_waveforms` with
+    :func:`~aat_tpu.ops.ragged.materialize_segments` and runs the pipeline
+    over BATCH CHUNKS of at most ``batch_chunk`` utterances (``lax.map``).
+    Every stage is per-utterance-parallel, and its intermediates (mel
+    framing pads/copies, padded-waveform relayouts) only stay VMEM-resident
+    at small batch — flat batch 64 x 30 s measured ~35% slower per
+    audio-second than batch 16 from exactly those spilled data-movement ops
+    (device-traced, benchmarks/trace_tokenize.py). Chunking holds the
+    per-chunk working set at the measured sweet spot (chunk 8: 70.8k
+    audio_s/s at batch 64 vs 59.5k chunk 4 / 57.1k chunk 32 — loop
+    overhead below, VMEM spills above), making throughput flat-to-rising
+    in batch size (benchmarks/RESULTS.md).
+
+    Call under ``jax.jit`` (trace-time branching on static shapes only).
+    Returns ``(table, segments, frame_mask)`` where ``table`` is the
+    :func:`segment_waveforms` dict (all leaves ``[B, ...]``) minus
+    ``melspec`` when chunked (kept per-chunk it would materialize the
+    full-batch melspec for no consumer; call ``tokenize_batch`` if you
+    need it), ``segments`` is ``[B, S_max, max_frames]`` float32 and
+    ``frame_mask`` the matching validity mask.
+    """
+    import jax
+
+    from aat_tpu.ops.ragged import materialize_segments
+
+    b = waveforms.shape[0]
+    max_frames = config.max_segment_frames
+
+    def one_chunk(wv, ln):
+        table = seg_ops.segment_waveforms(wv, ln, config)
+        segments, frame_mask = materialize_segments(
+            wv, table["starts"], table["ends"], table["out_lens"],
+            table["segment_mask"], max_frames,
+            start_granularity=config.start_granularity,
+        )
+        return table, segments, frame_mask
+
+    if b <= batch_chunk:
+        return one_chunk(waveforms, lengths)
+    chunk = max(d for d in range(1, batch_chunk + 1) if b % d == 0)
+    wc = waveforms.reshape(b // chunk, chunk, waveforms.shape[1])
+    lc = lengths.reshape(b // chunk, chunk)
+
+    def chunk_fn(args):
+        table, segments, frame_mask = one_chunk(*args)
+        table.pop("melspec")
+        return table, segments, frame_mask
+
+    out = jax.lax.map(chunk_fn, (wc, lc))
+    return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)

@@ -45,8 +45,8 @@ def main():
 
     enable_compilation_cache()
 
-    from aat_tpu.ops.ragged import materialize_segments
-    from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+    from aat_tpu.ops.segmentation import TokenizerConfig
+    from aat_tpu.tokenizer import tokenize_dense
 
     batch, seconds = 16, 30.0
     sr = 16000
@@ -56,15 +56,14 @@ def main():
     ).astype(np.float32)
     lengths = np.full((batch,), int(seconds * sr), np.int32)
     config = TokenizerConfig(max_segments=128)
-    max_frames = config.max_segment_frames
 
+    # tokenize_dense runs the per-utterance-parallel pipeline in batch
+    # chunks of 8 (lax.map) so the mel-framing / gather intermediates stay
+    # VMEM-resident at any batch size — measured faster even at batch 16,
+    # and it removes the batch-64 spill cliff (benchmarks/trace_tokenize.py,
+    # RESULTS.md round 5).
     def tokenize_fn(waveforms, lengths):
-        table = segment_waveforms(waveforms, lengths, config)
-        segments, frame_mask = materialize_segments(
-            waveforms, table["starts"], table["ends"], table["out_lens"],
-            table["segment_mask"], max_frames,
-            start_granularity=config.start_granularity,
-        )
+        table, segments, frame_mask = tokenize_dense(waveforms, lengths, config)
         return table["num_segments"], segments, frame_mask
 
     # Auto output layouts: with the default (descending) layouts XLA ends

@@ -63,19 +63,13 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import bench as bench_mod
-    from aat_tpu.ops.ragged import materialize_segments
-    from aat_tpu.ops.segmentation import TokenizerConfig, segment_waveforms
+    from aat_tpu.ops.segmentation import TokenizerConfig
+    from aat_tpu.tokenizer import tokenize_dense
 
     config = TokenizerConfig(max_segments=128)
-    max_frames = config.max_segment_frames
 
     def tokenize_fn(waveforms, lengths):
-        table = segment_waveforms(waveforms, lengths, config)
-        segments, frame_mask = materialize_segments(
-            waveforms, table["starts"], table["ends"], table["out_lens"],
-            table["segment_mask"], max_frames,
-            start_granularity=config.start_granularity,
-        )
+        table, segments, frame_mask = tokenize_dense(waveforms, lengths, config)
         return table["num_segments"], segments, frame_mask
 
     for batch in args.batches:

@@ -87,3 +87,46 @@ def test_masked_mean():
     out = np.asarray(masked_mean(x, mask))
     np.testing.assert_allclose(out[0], x[0, :2].mean(0))
     np.testing.assert_allclose(out[1], x[1].mean(0))
+
+
+def test_tokenize_dense_chunked_matches_flat(rng):
+    """The batch-chunked lax.map pipeline (VMEM-residency fix, round 5) is
+    bit-identical to the flat single-call pipeline."""
+    from aat_tpu.ops.segmentation import TokenizerConfig
+    from aat_tpu.tokenizer import tokenize_dense
+    from tests.conftest import make_speechlike_waveform
+
+    from aat_tpu.ops import mel as mel_ops
+
+    b = 6
+    config = TokenizerConfig(max_segments=32, max_minima=64)
+    waveforms = np.stack([
+        mel_ops.normalize_waveform(
+            make_speechlike_waveform(np.random.default_rng(i), 2.0)
+        )
+        for i in range(b)
+    ]).astype(np.float32)
+    lengths = np.full((b,), waveforms.shape[1], np.int32)
+    # batch_chunk=2 -> 3 chunks; batch_chunk=b -> flat reference
+    t_c, seg_c, fm_c = tokenize_dense(waveforms, lengths, config, batch_chunk=2)
+    t_f, seg_f, fm_f = tokenize_dense(waveforms, lengths, config, batch_chunk=b)
+    np.testing.assert_array_equal(np.asarray(seg_c), np.asarray(seg_f))
+    np.testing.assert_array_equal(np.asarray(fm_c), np.asarray(fm_f))
+    for key in ("starts", "ends", "out_lens", "segment_mask", "num_segments"):
+        np.testing.assert_array_equal(np.asarray(t_c[key]), np.asarray(t_f[key]))
+
+
+def test_windowed_gather_chunked_matches_flat(rng):
+    """windowed_gather's internal batch chunking (source VMEM residency)
+    returns exactly the flat gather's values at odd/even batch sizes."""
+    from aat_tpu.ops.ragged import _windowed_gather_flat, windowed_gather
+
+    l, s, length, block = 4000, 8, 400, 40
+    for b in (2, 3, 5, 8):
+        x = jnp.asarray(rng.normal(0, 1, (b, l)).astype(np.float32))
+        starts = jnp.asarray(
+            (rng.integers(0, (l - length) // block, (b, s)) * block).astype(np.int32)
+        )
+        got = windowed_gather(x, starts, length, block)
+        want = _windowed_gather_flat(x, starts, length, block)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
