@@ -79,6 +79,8 @@ def main():
                     help="trace the whole-utterance step (T≈1500, remat + "
                          "pallas flash) instead of the segmented flagship")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--bs", type=int, default=0,
+                    help="override batch size (0 = the mode's default)")
     ap.add_argument("--logdir", default="/tmp/aat_trace_step")
     args = ap.parse_args()
 
@@ -120,6 +122,7 @@ def main():
     rng = np.random.default_rng(0)
     if args.whole:
         bs, seconds, text_len = (1, 15.0, 16) if args.quick else (2, 30.0, 32)
+        bs = args.bs or bs
         batch = trainer._shard_batch({
             "waveforms": rng.normal(
                 0, 0.3, (bs, int(seconds * 16000))).astype(np.float32),
@@ -131,6 +134,7 @@ def main():
         })
     else:
         bs, n_seg, frames, text_len = (4, 8, 4000, 32) if args.quick else (8, 16, 4000, 48)
+        bs = args.bs or bs
         batch = trainer._shard_batch({
             "batched_segments": rng.normal(0, 0.3, (bs, n_seg, frames)).astype(np.float32),
             "segments_waveforms_mask": np.ones((bs, n_seg, frames), np.float32),
