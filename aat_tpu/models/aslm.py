@@ -428,6 +428,7 @@ class AslmModel:
         inputs_embeds: jnp.ndarray,
         attention_mask: jnp.ndarray,
         pack: int = 1,
+        caption_len: Optional[int] = None,
     ) -> jnp.ndarray:
         """LM forward over assembled embeds → logits (reference :371-379).
 
@@ -439,7 +440,13 @@ class AslmModel:
         amortizing the decoder's weight traffic over pack× more tokens per
         step — the same reason the reference trains the big LM at batch 40
         (reference src/aat/training/trainer.py:50,79) but without the
-        padding waste of ragged captions."""
+        padding waste of ragged captions.
+
+        ``caption_len``: return logits only for the shifted-caption window
+        ([B, caption_len−1, V] — the rows caption CE reads), slicing the
+        hidden state before the vocab GEMM (see llama_forward's
+        ``logit_caption_len``)."""
+        out_t = caption_len - 1 if caption_len is not None else None
         if pack > 1:
             b, t, h = inputs_embeds.shape
             assert b % pack == 0, (b, pack)
@@ -452,10 +459,12 @@ class AslmModel:
                 params["lm_decoder"], self.lm_config,
                 inputs_embeds=packed, attention_mask=mask,
                 positions=positions, pack_len=t,
+                logit_caption_len=caption_len,
             )
-            return logits.reshape(b, t, logits.shape[-1])
+            return logits.reshape(b, out_t or t, logits.shape[-1])
         logits, _ = llm.llama_forward(
             params["lm_decoder"], self.lm_config,
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
+            logit_caption_len=caption_len,
         )
         return logits

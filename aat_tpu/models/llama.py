@@ -209,6 +209,28 @@ def _apply_rope(q, k, cos, sin):
 def _attention(p, config: LlamaConfig, x, cos, sin, mask_bias, kv_cache, cache_index,
                key_padding_mask=None, tp_axis=None, pack_len=None):
     b, t, h = x.shape
+    if (pack_len is not None and kv_cache is None
+            and key_padding_mask is not None and t != pack_len):
+        # Sequence packing is EXACTLY block-diagonal, so attention gains
+        # nothing from the packed layout (the win is the dense/vocab GEMMs'
+        # weight-traffic amortization). Unfold the K packed utterances into
+        # the batch dim — a contiguous [B, K·p, H] → [B·K, p, H] reshape —
+        # and run plain causal attention at T=p: the packed full-T triangle
+        # costs K× the needed score-block work (measured 35 ms of a 498 ms
+        # pack=8 Qwen step vs ~5 ms unfolded; in-kernel pack_len masking
+        # kept for the kernel-level API/tests).
+        assert t % pack_len == 0, (t, pack_len)
+        kq = t // pack_len
+        am = key_padding_mask.reshape(b * kq, pack_len)
+        out, _ = _attention(
+            p, config,
+            x.reshape(b * kq, pack_len, h),
+            cos.reshape(b * kq, pack_len, cos.shape[-1]),
+            sin.reshape(b * kq, pack_len, sin.shape[-1]),
+            causal_mask_bias(am, pack_len, pack_len, 0),
+            None, 0, key_padding_mask=am, tp_axis=tp_axis, pack_len=None,
+        )
+        return out.reshape(b, t, out.shape[-1]), None
     # head counts derive from the KERNEL shapes, not the config: inside a
     # tp-sliced pipeline body the q/k/v kernels hold nh/tp (nkv/tp) heads,
     # and outside they equal the config values
@@ -314,6 +336,7 @@ def llama_forward(
     kv_caches: Optional[list] = None,
     cache_index: int | jnp.ndarray = 0,
     pack_len: Optional[int] = None,
+    logit_caption_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[list]]:
     """Returns (logits [B, T, V], new_kv_caches).
 
@@ -323,6 +346,16 @@ def llama_forward(
     ``pack_len``: rows are P packed equal-length utterances of that many
     tokens — attention is block-diagonal per utterance; pass per-utterance
     ``positions`` (restarting at 0) for matching rotary phases.
+    ``logit_caption_len``: emit logits ONLY for the shifted-caption window
+    (the last ``logit_caption_len`` positions of each utterance minus the
+    final one — exactly the rows caption CE consumes). The hidden state is
+    sliced BEFORE the final norm + lm_head, so the vocab-width GEMMs and
+    the CE tensors shrink by t/(cl−1) (2.6× at the packed-Qwen shapes,
+    where full-sequence f32 logits cost ~100 ms/step of HBM traffic and
+    blocked pack=16 outright at 6.3 GB). Per-position math is unchanged:
+    non-caption positions only reach the loss through attention, which
+    backprops inside the transformer stack, never through final_norm.
+    Returned logits are [B, K·(cl−1), V] with K = packed utterances/row.
     """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
@@ -414,6 +447,13 @@ def llama_forward(
             if new_caches is not None:
                 new_caches.append(new_cache)
 
+    if logit_caption_len is not None:
+        assert kv_caches is None, "caption slicing is a training-path feature"
+        cl = logit_caption_len
+        p = pack_len or t
+        k = t // p  # packed utterances per row (1 when unpacked)
+        hidden = hidden.reshape(b, k, p, hidden.shape[-1])[:, :, p - cl : p - 1, :]
+        hidden = hidden.reshape(b, k * (cl - 1), hidden.shape[-1])
     hidden = _rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     if config.tie_word_embeddings:
         logits = jnp.einsum("bth,vh->btv", hidden, params["embed_tokens"]["embedding"],

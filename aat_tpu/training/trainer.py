@@ -79,9 +79,18 @@ def caption_cross_entropy(
     input_ids_attention_mask: jnp.ndarray,
 ) -> jnp.ndarray:
     """Shifted caption CE over the trailing caption positions, pad-masked
-    (reference compute_loss, trainer.py:187-207)."""
+    (reference compute_loss, trainer.py:187-207).
+
+    Accepts either full-sequence logits [B, T, V] or caption-presliced
+    logits [B, C−1, V] (the model's ``caption_len=`` fast path, which
+    never materializes vocab-width logits for audio positions). The full
+    sequence is always ≥ C+2 (audio_bos/eos + audio tokens precede the
+    caption), so the shapes are unambiguous."""
     caption_len = input_ids.shape[1]
-    pred = logits[:, -caption_len:-1, :]  # [B, C-1, V]
+    if logits.shape[1] == caption_len - 1:
+        pred = logits  # pre-sliced to the shifted caption window
+    else:
+        pred = logits[:, -caption_len:-1, :]  # [B, C-1, V]
     targets = input_ids[:, 1:]
     mask = input_ids_attention_mask[:, 1:].astype(jnp.float32)
     ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -358,7 +367,8 @@ class AATTrainer:
         )
         logits = model.forward(params, inputs["inputs_embeds"],
                                inputs["attention_mask"],
-                               pack=self.config.lm_pack)
+                               pack=self.config.lm_pack,
+                               caption_len=batch["input_ids"].shape[1])
         return logits, inputs, bn_stats
 
     def _debug_metrics(self, params, batch, inputs):

@@ -29,6 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packs", type=int, nargs="+", default=[1, 8, 16])
     ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--remat", choices=["dots", "none"], default="dots",
+                    help="LM remat policy: 'none' spends activation HBM "
+                         "(~1 GB/1k tokens) to drop the backward's "
+                         "recompute forward — 4x -> 3x forward-equivalents "
+                         "of LM FLOPs per step")
     ap.add_argument("--trace", action="store_true")
     args = ap.parse_args()
 
@@ -46,7 +51,8 @@ def main():
         hidden_dropout=0.0, attention_dropout=0.0,
         activation_dropout=0.0, layerdrop=0.0,
     )
-    lm_cfg = dataclasses.replace(llm.qwen15_18b_config(), remat=True,
+    lm_cfg = dataclasses.replace(llm.qwen15_18b_config(),
+                                 remat=args.remat != "none",
                                  remat_policy="dots")
     config = AslmConfig(
         projection_type="linear",
@@ -95,12 +101,14 @@ def main():
                                           fetch_metrics=(i == iters - 1))
             dt = (time.perf_counter() - t0) / iters
             print(json.dumps({
-                "pack": pack, "rows": bsp, "ms": round(dt * 1e3, 1),
+                "pack": pack, "rows": bsp, "bs": args.bs,
+                "remat": args.remat, "ms": round(dt * 1e3, 1),
                 "audio_s_per_s": round(audio_seconds / dt, 2),
                 "per_utt_ms": round(dt * 1e3 / bsp, 2),
                 "loss": round(float(m["train/loss"]), 3),
             }), flush=True)
-            if args.trace and pack == max(args.packs):
+            if args.trace:  # trace the largest pack that RAN (later packs
+                # overwrite; a failed pack can't erase a recorded trace)
                 logdir = f"/tmp/aat_trace_qwen_pack{pack}"
                 jax.profiler.start_trace(logdir)
                 for _ in range(2):

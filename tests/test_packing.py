@@ -176,3 +176,43 @@ def test_trainer_lm_pack_loss_matches():
     for a, b in zip(*leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pack", [1, 2])
+def test_caption_sliced_logits_match_full(pack):
+    """forward(caption_len=C) must equal the caption window of the full
+    logits exactly — the slice happens before final_norm + lm_head, so
+    every returned element is the same dot product (round 5; this is the
+    fast path that keeps vocab-width tensors off the audio positions)."""
+    from aat_tpu.models import hubert as hub
+    from aat_tpu.models import llama as llm
+    from aat_tpu.models.aslm import AslmConfig, AslmModel
+    from aat_tpu.training.trainer import caption_cross_entropy
+
+    lm_cfg = llm.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    audio_cfg = hub.tiny_test_config()
+    cfg = AslmConfig(projection_type="linear", audio_encoder_hidden=32,
+                     lm_hidden=32, projection_hidden=64)
+    model = AslmModel(cfg, audio_cfg, lm_cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(1)
+    b, t, h, cl = 4, 12, 32, 5
+    embeds = jnp.asarray(rng.normal(0, 1, (b, t, h)).astype(np.float32))
+    mask = jnp.ones((b, t), jnp.int32)
+
+    full = model.forward(params, embeds, mask, pack=pack)
+    sliced = model.forward(params, embeds, mask, pack=pack, caption_len=cl)
+    assert sliced.shape == (b, cl - 1, lm_cfg.vocab_size)
+    window = np.asarray(full[:, t - cl : t - 1, :])
+    np.testing.assert_allclose(np.asarray(sliced), window, atol=1e-5)
+
+    ids = jnp.asarray(rng.integers(1, 64, (b, cl)))
+    id_mask = jnp.ones((b, cl), jnp.int32)
+    loss_full = float(caption_cross_entropy(full, ids, id_mask))
+    loss_sliced = float(caption_cross_entropy(sliced, ids, id_mask))
+    assert abs(loss_full - loss_sliced) < 1e-6, (loss_full, loss_sliced)
